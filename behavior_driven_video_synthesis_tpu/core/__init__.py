@@ -1,0 +1,8 @@
+from .config import (
+    Config,
+    load_config,
+    save_config,
+    deep_merge,
+)
+from .rng import KeySeq
+from . import schedules

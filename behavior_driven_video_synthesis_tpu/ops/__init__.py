@@ -1,0 +1,12 @@
+from .nn import (
+    NormConv2d,
+    L2NormConv2d,
+    LayerNormConv2d,
+    Downsample,
+    Upsample,
+    VunetRNB,
+    FullyConnectedNet,
+    space_to_depth,
+    depth_to_space,
+)
+from .recurrent import LSTMCell, GRUCell, LSTM
