@@ -1,6 +1,7 @@
 from .config import (
     Config,
     load_config,
+    loads_config,
     save_config,
     deep_merge,
 )
