@@ -1,0 +1,9 @@
+from .behavior import BehaviorEncoder, ResidualDecoder, ResidualBehaviorNet
+from .probes import (
+    Classifier,
+    ClassifierAction,
+    ClassifierActionBeta,
+    Regressor,
+    RegressorFly,
+    FCResnet,
+)

@@ -1,4 +1,5 @@
 from .nn import (
+    NormDense,
     NormConv2d,
     L2NormConv2d,
     LayerNormConv2d,

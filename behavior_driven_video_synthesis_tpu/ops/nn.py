@@ -1,0 +1,322 @@
+"""NN primitives, NHWC / TPU-native.
+
+Re-designs of the reference's building blocks (/root/reference/lib/modules.py)
+as flax.linen modules with channels-last layout (NHWC — the native TPU conv
+layout), fp32 parameters and a configurable compute dtype (bf16 by default in
+training configs) so convs hit the MXU at full tile throughput.
+
+Blocks:
+  * NormConv2d      — weight-norm conv + learned per-channel gamma/beta
+                      (reference lib/modules.py:120-145)
+  * L2NormConv2d    — L2-normalized-kernel conv with data-dependent init
+                      (reference lib/modules.py:42-101)
+  * LayerNormConv2d — conv + instance norm (reference lib/modules.py:104-117)
+  * Downsample      — stride-2 3x3 conv (reference lib/modules.py:148-161)
+  * Upsample        — subpixel (conv->4c + depth_to_space) or bilinear
+                      (reference lib/modules.py:164-182)
+  * VunetRNB        — pre-activation residual block w/ optional fused aux
+                      input (reference lib/modules.py:185-233)
+  * FullyConnectedNet — LeakyReLU MLP used by flow couplings
+                      (reference lib/modules.py:236-257)
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def space_to_depth(x, block_size: int = 2):
+    """NHWC space->depth with torch-compatible channel ordering.
+
+    output[..., (i*bs + j)*C + c] = input[..., h*bs+i, w*bs+j, c]
+    (matches reference lib/modules.py:11-21 modulo NCHW->NHWC).
+    """
+    n, h, w, c = x.shape
+    bs = block_size
+    x = x.reshape(n, h // bs, bs, w // bs, bs, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // bs, w // bs, bs * bs * c)
+
+
+def depth_to_space(x, block_size: int = 2):
+    """NHWC depth->space, inverse of :func:`space_to_depth`.
+
+    Channel factored as (i, j, C') in C-order, matching reference
+    lib/modules.py:24-34.
+    """
+    n, h, w, c = x.shape
+    bs = block_size
+    cc = c // (bs * bs)
+    x = x.reshape(n, h, w, bs, bs, cc)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * bs, w * bs, cc)
+
+
+def _conv(x, kernel, bias, stride, padding, dtype):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=dn,
+    )
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+class NormConv2d(nn.Module):
+    """Weight-normalized conv with learned per-channel scale/shift.
+
+    W = g * V / ||V||  (norm over kh,kw,cin per output channel, torch
+    weight_norm semantics), then y = gamma * (conv(x, W) + b) + beta.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        v = self.param(
+            "v",
+            nn.initializers.he_normal(in_axis=(0, 1, 2), out_axis=3),
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        g = self.param(
+            "g",
+            lambda _key: jnp.sqrt(
+                jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=(0, 1, 2))
+            ),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+
+        v_norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
+        kernel = v * (g / v_norm)
+        y = _conv(x, kernel, bias, self.stride, self.padding, self.dtype)
+        return gamma.astype(self.dtype) * y + beta.astype(self.dtype)
+
+
+class L2NormConv2d(nn.Module):
+    """Conv whose kernel is L2-normalized per output channel (no magnitude
+    param), with learned gamma/beta.  Data-dependent init of gamma/beta
+    (normalize first-batch activations) is done by `init_gamma_beta`.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "w",
+            nn.initializers.normal(stddev=0.05),
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias
+            else None
+        )
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        w_norm = jnp.sqrt(jnp.sum(w * w, axis=(0, 1, 2), keepdims=True) + 1e-12)
+        kernel = w / w_norm
+        y = _conv(x, kernel, bias, self.stride, self.padding, self.dtype)
+        return gamma.astype(self.dtype) * y + beta.astype(self.dtype)
+
+
+class NormDense(nn.Module):
+    """Weight-normalized dense + learned per-feature gamma/beta.
+
+    Equivalent of the reference's trick of running a 1x1 NormConv2d over a
+    (B, C, 1, 1) tensor (pose_behavior_rnn.py:157-158,186-195) — here simply
+    a weight-norm linear, which is what that conv lowers to.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        v = self.param("v", nn.initializers.he_normal(),
+                       (cin, self.features), jnp.float32)
+        g = self.param(
+            "g",
+            lambda _key: jnp.sqrt(
+                jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=0)
+            ),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        v_norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + 1e-12)
+        kernel = v * (g / v_norm)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+        return gamma.astype(self.dtype) * y + beta.astype(self.dtype)
+
+
+class LayerNormConv2d(nn.Module):
+    """Conv followed by (non-affine) instance normalization over H,W."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=self.padding,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        mean = jnp.mean(y, axis=(1, 2), keepdims=True)
+        var = jnp.var(y, axis=(1, 2), keepdims=True)
+        return (y - mean) * jax.lax.rsqrt(var + 1e-5)
+
+
+CONV_LAYERS = {
+    "l1": NormConv2d,
+    "l2": L2NormConv2d,
+    "ln": LayerNormConv2d,
+}
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv."""
+
+    features: int
+    conv_layer: Callable = NormConv2d
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return self.conv_layer(
+            self.features, kernel_size=3, stride=2, padding=1,
+            dtype=self.dtype,
+        )(x)
+
+
+class Upsample(nn.Module):
+    """2x upsample: subpixel (conv to 4*C then depth-to-space) or
+    conv + bilinear resize."""
+
+    features: int
+    subpixel: bool = True
+    conv_layer: Callable = NormConv2d
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.subpixel:
+            y = self.conv_layer(4 * self.features, kernel_size=3, padding=1,
+                                dtype=self.dtype)(x)
+            return depth_to_space(y, 2)
+        y = self.conv_layer(self.features, kernel_size=3, padding=1,
+                            dtype=self.dtype)(x)
+        n, h, w, c = y.shape
+        return jax.image.resize(y, (n, 2 * h, 2 * w, c), method="bilinear")
+
+
+class VunetRNB(nn.Module):
+    """Pre-activation residual block, optionally fusing an auxiliary input.
+
+    out = x + conv(act(dropout([x] or [x, 1x1conv(act(a))])))
+    (reference lib/modules.py:185-233).  The elementwise chain fuses into the
+    conv under XLA; a Pallas variant lives in ops/pallas for cases XLA
+    doesn't fuse.
+    """
+
+    channels: int
+    residual: bool = False  # true => expects auxiliary input a
+    kernel_size: int = 3
+    activate: bool = True
+    conv_layer: Callable = NormConv2d
+    dropout_prob: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, a=None, *, train: bool = False):
+        act = nn.elu if self.activate else (lambda v: v)
+        h = x
+        if a is not None:
+            assert self.residual
+            a = act(a)
+            a = self.conv_layer(self.channels, kernel_size=1,
+                                dtype=self.dtype)(a)
+            h = jnp.concatenate([h, a], axis=-1)
+        h = act(h)
+        if self.dropout_prob > 0.0:
+            h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+        h = self.conv_layer(
+            self.channels,
+            kernel_size=self.kernel_size,
+            padding=self.kernel_size // 2,
+            dtype=self.dtype,
+        )(h)
+        return x + h
+
+
+class FullyConnectedNet(nn.Module):
+    """LeakyReLU MLP: dim -> hidden x(depth+1) -> out_dim, optional tanh.
+
+    Used by flow couplings (reference lib/modules.py:236-257)."""
+
+    dim: int
+    depth: int
+    hidden_dim: int = 256
+    use_tanh: bool = False
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        h = nn.leaky_relu(h)
+        for _ in range(self.depth):
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32)(h)
+            h = nn.leaky_relu(h)
+        out = self.dim if self.out_dim is None else self.out_dim
+        h = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        if self.use_tanh:
+            h = jnp.tanh(h)
+        return h
