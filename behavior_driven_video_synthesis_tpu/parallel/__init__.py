@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_sharding,
+    replicated_sharding,
+)

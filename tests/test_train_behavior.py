@@ -1,0 +1,165 @@
+"""End-to-end behavior-cVAE + flow training slice on synthetic data,
+sharded over the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from behavior_driven_video_synthesis_tpu.core import Config
+from behavior_driven_video_synthesis_tpu.data import SyntheticSequenceDataset
+from behavior_driven_video_synthesis_tpu.models import (
+    ResidualBehaviorNet,
+    ClassifierAction,
+    ClassifierActionBeta,
+    RegressorFly,
+)
+from behavior_driven_video_synthesis_tpu.models.discriminators import (
+    SequenceDiscMichael,
+)
+from behavior_driven_video_synthesis_tpu.models.flows import LatentFlow
+from behavior_driven_video_synthesis_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    replicate,
+)
+from behavior_driven_video_synthesis_tpu.train.behavior import (
+    create_behavior_state,
+    make_behavior_train_step,
+    make_behavior_eval_step,
+)
+from behavior_driven_video_synthesis_tpu.train.flow import (
+    create_flow_state,
+    make_flow_train_step,
+)
+
+N_KPS, HID, T_FULL, BS, N_ACT = 24, 64, 17, 16, 5
+SEQ_LEN = T_FULL - 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = Config({
+        "architecture": {"dim_hidden_b": HID, "cvae": False},
+        "training": {
+            "recon_loss_weight": 2.5, "weight_regressor": 0.01,
+            "use_regressor": True, "gamma_step": 1e-4,
+            "information_max": 10.0, "lr_init": 1e-3,
+        },
+    })
+    model = ResidualBehaviorNet(n_kps=N_KPS, dim_hidden_b=HID)
+    regressor = RegressorFly(n_out=N_KPS, seq_length=SEQ_LEN)
+    cls_action = ClassifierAction(n_classes=N_ACT, dim=64)
+    cls_action2 = SequenceDiscMichael(layers=(2, 1, 1, 1), out_dim=N_ACT)
+    cls_beta = ClassifierActionBeta(n_classes=N_ACT)
+    txs = {k: optax.adam(1e-3) for k in
+           ["net", "regressor", "cls_action", "cls_action2", "cls_beta"]}
+    ds = SyntheticSequenceDataset(n_samples=256, seq_length=T_FULL,
+                                  n_kps=N_KPS, n_actions=N_ACT)
+    sample = next(ds.batches(BS))
+    sample = {k: jnp.asarray(v) for k, v in sample.items()}
+    state = create_behavior_state(
+        jax.random.PRNGKey(0), model, regressor, cls_action, cls_action2,
+        cls_beta, txs, sample, SEQ_LEN)
+    step_fn = make_behavior_train_step(
+        model, regressor, cls_action, cls_action2, cls_beta, txs, config,
+        SEQ_LEN)
+    return config, model, ds, state, step_fn, txs
+
+
+class TestBehaviorTraining:
+    def test_loss_decreases(self, setup):
+        _, model, ds, state, step_fn, _ = setup
+        jit_step = jax.jit(step_fn, static_argnames=("enable_net_update",))
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for epoch in range(6):
+            for batch in ds.batches(BS, seed=epoch):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                key, sub = jax.random.split(key)
+                state, metrics = jit_step(state, batch, sub)
+                losses.append(float(metrics["loss_recon"]))
+        assert losses[-1] < 0.5 * np.mean(losses[:5]), (
+            f"recon did not improve: first5={np.mean(losses[:5]):.4f} "
+            f"last={losses[-1]:.4f}")
+        # KL finite, gamma non-negative
+        assert float(state.gamma) >= 0.0
+        self._trained_state = state
+
+    def test_sharded_over_mesh(self, setup):
+        _, model, ds, state, step_fn, _ = setup
+        mesh = make_mesh(8)
+        state = replicate(state, mesh)
+        jit_step = jax.jit(step_fn, static_argnames=("enable_net_update",))
+        batch = next(ds.batches(BS))
+        batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                            mesh)
+        key = replicate(jax.random.PRNGKey(2), mesh)
+        state2, metrics = jit_step(state, batch, key)
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated, batch metrics are scalars
+        assert float(metrics["acc_classifier_action"]) >= 0.0
+
+    def test_disable_net_update_freezes_params(self, setup):
+        _, model, ds, state, step_fn, _ = setup
+        jit_step = jax.jit(step_fn, static_argnames=())
+        batch = next(ds.batches(BS))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state2, _ = jit_step(state, batch, jax.random.PRNGKey(3),
+                             jnp.asarray(False))
+        leaves0 = jax.tree_util.tree_leaves(state.net.params)
+        leaves1 = jax.tree_util.tree_leaves(state2.net.params)
+        for a, b in zip(leaves0, leaves1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # probes still train
+        r0 = jax.tree_util.tree_leaves(state.regressor.params)
+        r1 = jax.tree_util.tree_leaves(state2.regressor.params)
+        assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                   for a, b in zip(r0, r1))
+
+    def test_eval_step(self, setup):
+        _, model, ds, state, step_fn, _ = setup
+        eval_fn = jax.jit(make_behavior_eval_step(model, SEQ_LEN))
+        batch = next(ds.batches(BS))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        metrics, xs = eval_fn(state.net.params, batch, jax.random.PRNGKey(0))
+        assert xs.shape == (BS, SEQ_LEN, N_KPS)
+        assert np.isfinite(float(metrics["recon_mse"]))
+
+
+class TestFlowStage:
+    def test_flow_trains_on_frozen_net(self, setup):
+        _, model, ds, state, step_fn, _ = setup
+        flow_model = LatentFlow(flow_in_channels=HID,
+                                flow_mid_channels=2 * HID, n_flows=4)
+        tx = optax.adam(1e-3)
+
+        # real-batch init for ActNorm
+        batch = next(ds.batches(BS))
+        seq_b = jnp.asarray(batch["keypoints"])[:, :-1]
+        b, *_ = model.apply({"params": state.net.params}, seq_b, sample=False,
+                            rngs={"sample": jax.random.PRNGKey(0)},
+                            method=model.infer_b)
+        fstate = create_flow_state(jax.random.PRNGKey(1), flow_model, tx, b)
+
+        flow_step = jax.jit(make_flow_train_step(model, flow_model, tx,
+                                                 SEQ_LEN))
+        losses = []
+        key = jax.random.PRNGKey(2)
+        for epoch in range(3):
+            for b_ in ds.batches(BS, seed=10 + epoch):
+                b_ = {k: jnp.asarray(v) for k, v in b_.items()}
+                key, sub = jax.random.split(key)
+                fstate, fmetrics = flow_step(fstate, state.net.params, b_,
+                                             sub)
+                losses.append(float(fmetrics["flow_loss"]))
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+        # sampling through the inverse is finite and correctly shaped
+        variables = {"params": fstate.flow.params,
+                     "buffers": fstate.flow.buffers}
+        samples = flow_model.apply(variables, jax.random.PRNGKey(3), 7,
+                                   method=flow_model.sample)
+        assert samples.shape == (7, HID)
+        assert np.isfinite(np.asarray(samples)).all()
