@@ -1,0 +1,111 @@
+"""Perceptual feature network: VGG19 pyramid for the synthesis likelihood.
+
+Equivalent of the reference's `PerceptualVGG`
+(/root/reference/models/imagenet_pretrained.py:8-61): ImageNet-normalize a
+[-1, 1] input, run VGG19 features, return {input, relu1_2, relu2_2, relu3_2,
+relu4_2, relu5_2}.
+
+This environment has no torchvision and no network egress, so pretrained
+weights cannot be downloaded here.  The module therefore supports three
+sources, in order of preference:
+
+  1. `load_torchvision_vgg19(state_dict)` — convert a torchvision VGG19
+     state dict (``features.N.weight/bias``) into flax params (one-time,
+     offline; OIHW -> HWIO transpose).
+  2. a ``.npz`` of already-converted params via `load_npz_params`.
+  3. random init — "random VGG" perceptual features, a known-serviceable
+     fallback; SSIM/IS parity claims require real weights.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# VGG19 'features' conv layout: (name, out_channels); M = maxpool
+VGG19_CFG = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256),
+    "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512),
+    "M",
+    ("conv5_1", 512), ("conv5_2", 512),
+]
+# taps after the ReLU of these convs (reference returns these 5 levels)
+VGG19_TAPS = {"conv1_2": "relu1_2", "conv2_2": "relu2_2",
+              "conv3_2": "relu3_2", "conv4_2": "relu4_2",
+              "conv5_2": "relu5_2"}
+
+# torchvision features.* indices of the conv layers in VGG19
+_TORCHVISION_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class PerceptualVGG19(nn.Module):
+    """VGG19 trunk up to relu5_2, NHWC, returning the feature pyramid.
+
+    Input in [-1, 1]; internally rescaled to [0, 1] then ImageNet-normalized
+    (matching reference imagenet_pretrained.py:30-44).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        out = {"input": x}
+        h = (x + 1.0) / 2.0
+        h = (h - IMAGENET_MEAN) / IMAGENET_STD
+        h = h.astype(self.dtype)
+        for item in VGG19_CFG:
+            if item == "M":
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                continue
+            name, ch = item
+            h = nn.Conv(ch, (3, 3), padding=1, name=name, dtype=self.dtype,
+                        param_dtype=jnp.float32)(h)
+            h = nn.relu(h)
+            if name in VGG19_TAPS:
+                out[VGG19_TAPS[name]] = h
+        return out
+
+
+def load_torchvision_vgg19(state_dict) -> Dict:
+    """torchvision `vgg19(pretrained=True).state_dict()` -> flax params."""
+    params = {}
+    conv_names = [it[0] for it in VGG19_CFG if it != "M"]
+    for name, idx in zip(conv_names, _TORCHVISION_CONV_IDX):
+        w = np.asarray(state_dict[f"features.{idx}.weight"])  # OIHW
+        b = np.asarray(state_dict[f"features.{idx}.bias"])
+        params[name] = {
+            "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),  # HWIO
+            "bias": jnp.asarray(b),
+        }
+    return {"params": params}
+
+
+def save_npz_params(variables: Dict, path: str) -> None:
+    flat = {}
+    for lname, p in variables["params"].items():
+        for k, v in p.items():
+            flat[f"{lname}.{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_npz_params(path: str) -> Dict:
+    data = np.load(path)
+    params: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for key in data.files:
+        lname, k = key.rsplit(".", 1)
+        params.setdefault(lname, {})[k] = jnp.asarray(data[key])
+    return {"params": params}
+
+
+def feature_names() -> List[str]:
+    return ["input", "relu1_2", "relu2_2", "relu3_2", "relu4_2", "relu5_2"]

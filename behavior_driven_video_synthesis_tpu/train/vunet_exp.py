@@ -1,0 +1,183 @@
+"""VUNet training steps: "cvbae" (alter, KL-to-prior) and original VUNet.
+
+Re-designs of /root/reference/experiments/shape_and_pose_net.py:360-466 and
+experiments/vunet.py:278-338 as pure jitted steps.
+
+cvbae loss:
+  ll_weight * sum(vgg_loss levels) + gamma * compute_kl_with_prior
+  - w_reg * clip(L_reg, max=1.2)          [gradient-inert; see note]
+  regressor: reg_steps updates predicting 2D keypoints from sg(latent means)
+  gamma controller after the step.
+
+Note on the adversarial term: in the reference the regressor's latents are
+computed under no_grad (shape_and_pose_net.py:410-412), so the subtracted
+clamp never reaches the vunet gradients — it only shifts the logged loss.
+We reproduce that exactly (stop_gradient) rather than "fix" it.
+
+org-vunet loss: perceptual likelihood + ramped kl_weight *
+compute_kl_loss(prior_means, posterior_means), linear LR decay to 0.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core import schedules
+from .losses import compute_kl_loss, compute_kl_with_prior, vgg_loss
+from .state import ModuleState
+
+
+@struct.dataclass
+class VunetTrainState:
+    step: jnp.ndarray
+    vunet: ModuleState
+    regressor: ModuleState
+    gamma: jnp.ndarray
+
+
+def create_vunet_state(key, vunet, regressor, vgg, txs, sample_batch,
+                       gamma_init: float = 0.0,
+                       n_latent_scales: int = 2) -> VunetTrainState:
+    x = sample_batch["app_img"]
+    c = sample_batch["stickman"]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    v_vars = vunet.init({"params": k1, "sample": k2, "dropout": k3}, x, c)
+    means, _ = vunet.apply(v_vars, x, rngs={"sample": k2},
+                           method=vunet.encode_means)
+    if regressor is not None:
+        r_vars = regressor.init(k4, means)
+        reg_state = ModuleState.create(r_vars, txs["regressor"])
+    else:
+        reg_state = None
+    return VunetTrainState(
+        step=jnp.zeros((), jnp.int32),
+        vunet=ModuleState.create(v_vars, txs["vunet"]),
+        regressor=reg_state,
+        gamma=jnp.asarray(gamma_init, jnp.float32),
+    )
+
+
+def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config
+                          ) -> Callable:
+    tr = config.training
+    ll_weight = float(tr.get("ll_weight", 1.0))
+    vgg_weights = list(tr.get("vgg_weights", [1.0] * 6))
+    w_reg = float(tr.get("weight_regressor", 4.0))
+    train_reg = bool(tr.get("train_regressor", True)) and regressor is not None
+    gamma_step = float(tr.get("gamma_step", 1e-5))
+    imax = float(tr.get("information_max", 1000.0))
+    n_init_batches = int(tr.get("n_init_batches", 4))
+    is_cvae = bool(config.architecture.get("cvae", False))
+
+    def train_step(state: VunetTrainState, batch, key
+                   ) -> Tuple[VunetTrainState, Dict[str, jnp.ndarray]]:
+        target = batch["pose_img"]
+        shape_img = batch["stickman"]
+        app_img = batch.get("app_img", target)
+        k_s, k_d, k_r = jax.random.split(key, 3)
+
+        def loss_fn(params):
+            out, means, logstds, ps, _ = vunet.apply(
+                {"params": params}, app_img, shape_img,
+                rngs={"sample": k_s, "dropout": k_d}, train=True,
+            )
+            feats_t = vgg.apply(vgg_variables, target)
+            feats_p = vgg.apply(vgg_variables, out.astype(target.dtype))
+            ll_dict = vgg_loss(feats_t, feats_p, vgg_weights)
+            likelihood = ll_weight * sum(ll_dict.values())
+            kl = compute_kl_with_prior(means, logstds)
+            tuning = 1.0 if is_cvae else state.gamma
+            loss = likelihood + jnp.where(
+                state.step > n_init_batches, tuning * kl, 0.0)
+            aux = {"likelihood_loss": likelihood, "kl_loss": kl,
+                   "means": means, "out": out}
+            aux.update({f"ll_{k}": v for k, v in ll_dict.items()})
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.vunet.params)
+
+        new_reg = state.regressor
+        loss_reg = jnp.zeros(())
+        if train_reg:
+            # probe regressor: keypoints from stop-gradient latent means of
+            # dedicated regressor images
+            reg_imgs = batch["reg_imgs"]       # (B, R, H, W, C)
+            reg_targets = batch["reg_targets"]  # (B, R, K, 2)
+            for i in range(reg_imgs.shape[1]):
+                means_i, _ = vunet.apply(
+                    {"params": jax.lax.stop_gradient(state.vunet.params)},
+                    reg_imgs[:, i], rngs={"sample": jax.random.fold_in(k_r, i)},
+                    method=vunet.encode_means,
+                )
+                means_i = jax.lax.stop_gradient(means_i)
+                tgt = reg_targets[:, i].reshape(reg_targets.shape[0], -1)
+
+                def reg_loss_fn(rp):
+                    preds = regressor.apply({"params": rp}, means_i)
+                    return jnp.mean(jnp.sqrt(
+                        jnp.sum((preds - tgt) ** 2, axis=1) + 1e-12))
+
+                loss_reg, rg = jax.value_and_grad(reg_loss_fn)(new_reg.params)
+                new_reg = new_reg.apply_gradients(txs["regressor"], rg)
+            # gradient-inert parity term (see module docstring)
+            loss = loss - jnp.clip(loss_reg, max=1.2) * w_reg
+
+        new_vunet = state.vunet.apply_gradients(txs["vunet"], grads)
+        new_gamma = schedules.update_gamma(state.gamma, aux["kl_loss"], imax,
+                                           gamma_step)
+
+        metrics = {
+            "loss": loss,
+            "likelihood_loss": aux["likelihood_loss"],
+            "kl_loss": aux["kl_loss"],
+            "gamma": new_gamma,
+            "loss_reg": loss_reg,
+        }
+        metrics.update({k: v for k, v in aux.items()
+                        if k.startswith("ll_")})
+        new_state = state.replace(step=state.step + 1, vunet=new_vunet,
+                                  regressor=new_reg, gamma=new_gamma)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
+                              total_steps: int) -> Callable:
+    tr = config.training
+    ll_weight = float(tr.get("ll_weight", 1.0))
+    vgg_weights = list(tr.get("vgg_weights", [1.0] * 6))
+
+    def train_step(state: VunetTrainState, batch, key
+                   ) -> Tuple[VunetTrainState, Dict[str, jnp.ndarray]]:
+        app_img = batch["app_img"]
+        target = batch["pose_img"]
+        shape_img = batch["stickman"]
+        k_s, k_d = jax.random.split(key)
+        kl_weight = schedules.kl_ramp(state.step, total_steps)
+
+        def loss_fn(params):
+            out, q_means, _, p_means, _ = vunet.apply(
+                {"params": params}, app_img, shape_img,
+                rngs={"sample": k_s, "dropout": k_d}, train=True,
+            )
+            feats_t = vgg.apply(vgg_variables, target)
+            feats_p = vgg.apply(vgg_variables, out.astype(target.dtype))
+            ll_dict = vgg_loss(feats_t, feats_p, vgg_weights)
+            likelihood = ll_weight * sum(ll_dict.values())
+            kl = compute_kl_loss(p_means, q_means)
+            loss = likelihood + kl_weight * kl
+            return loss, {"likelihood_loss": likelihood, "kl_loss": kl}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.vunet.params)
+        new_vunet = state.vunet.apply_gradients(txs["vunet"], grads)
+        metrics = {"loss": loss, "kl_weight": kl_weight, **aux}
+        return state.replace(step=state.step + 1, vunet=new_vunet), metrics
+
+    return train_step

@@ -1,0 +1,140 @@
+"""cvbae/org-vunet train-step tests on tiny synthetic images, plus
+perceptual/inception model smoke tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from behavior_driven_video_synthesis_tpu.core import Config
+from behavior_driven_video_synthesis_tpu.models.vunet import (
+    VUNet,
+    VunetRegressor,
+)
+from behavior_driven_video_synthesis_tpu.models.perceptual import (
+    PerceptualVGG19,
+    feature_names,
+    save_npz_params,
+    load_npz_params,
+)
+from behavior_driven_video_synthesis_tpu.models.inception import (
+    InceptionV3Features,
+)
+from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+    create_vunet_state,
+    make_cvbae_train_step,
+    make_org_vunet_train_step,
+)
+
+S = 32  # spatial size for tests
+B = 2
+
+
+def _batch(rng, with_reg=True):
+    batch = {
+        "pose_img": jnp.asarray(
+            rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1),
+        "stickman": jnp.asarray(
+            rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1),
+    }
+    batch["app_img"] = batch["pose_img"]
+    if with_reg:
+        batch["reg_imgs"] = jnp.asarray(
+            rng.rand(B, 2, S, S, 3).astype(np.float32) * 2 - 1)
+        batch["reg_targets"] = jnp.asarray(
+            rng.rand(B, 2, 17, 2).astype(np.float32))
+    return batch
+
+
+@pytest.fixture(scope="module")
+def vgg():
+    model = PerceptualVGG19()
+    x = jnp.zeros((1, S, S, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+class TestPerceptual:
+    def test_pyramid_names_and_shapes(self, vgg, rng):
+        model, variables = vgg
+        x = jnp.asarray(rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1)
+        feats = model.apply(variables, x)
+        assert list(feats.keys()) == feature_names()
+        assert feats["relu1_2"].shape == (B, S, S, 64)
+        assert feats["relu5_2"].shape == (B, S // 16, S // 16, 512)
+
+    def test_npz_roundtrip(self, vgg, tmp_path):
+        model, variables = vgg
+        p = str(tmp_path / "vgg.npz")
+        save_npz_params(variables, p)
+        loaded = load_npz_params(p)
+        for name, lp in variables["params"].items():
+            for k in lp:
+                np.testing.assert_array_equal(
+                    np.asarray(lp[k]), np.asarray(loaded["params"][name][k]))
+
+
+class TestInception:
+    def test_features_and_logits(self, rng):
+        model = InceptionV3Features(with_logits=True)
+        # 75x75 is the minimum valid input; keeps CPU test fast
+        x = jnp.asarray(rng.rand(1, 75, 75, 3).astype(np.float32) * 2 - 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        feats, logits = model.apply(variables, x)
+        assert feats.shape == (1, 2048)
+        assert logits.shape == (1, 1000)
+
+
+class TestCvbaeStep:
+    def test_loss_decreases(self, vgg, rng):
+        vgg_model, vgg_vars = vgg
+        config = Config({
+            "architecture": {"cvae": False},
+            "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                         "weight_regressor": 4.0, "train_regressor": True,
+                         "gamma_step": 1e-4, "information_max": 50.0,
+                         "n_init_batches": 1},
+        })
+        vunet = VUNet(spatial_size=S, nf_start=8, nf_max=16,
+                      variant="alter", dropout_prob=0.0)
+        regressor = VunetRegressor(n_out=34, latent_widths=[8, 4], nf_max=16)
+        txs = {"vunet": optax.adam(2e-3), "regressor": optax.adam(1e-3)}
+        batch = _batch(rng)
+        state = create_vunet_state(jax.random.PRNGKey(0), vunet, regressor,
+                                   vgg_model, txs, batch)
+        step = jax.jit(make_cvbae_train_step(vunet, regressor, vgg_model,
+                                             vgg_vars, txs, config))
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(12):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(metrics["likelihood_loss"]))
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
+        assert np.isfinite(float(metrics["kl_loss"]))
+        assert float(metrics["loss_reg"]) >= 0.0
+
+    def test_org_vunet_step(self, vgg, rng):
+        vgg_model, vgg_vars = vgg
+        config = Config({
+            "architecture": {"cvae": False},
+            "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6},
+        })
+        vunet = VUNet(spatial_size=S, nf_start=8, nf_max=16, variant="org")
+        txs = {"vunet": optax.adam(2e-3)}
+        batch = _batch(rng, with_reg=False)
+        state = create_vunet_state(jax.random.PRNGKey(0), vunet, None,
+                                   vgg_model, {"vunet": txs["vunet"]}, batch)
+        step = jax.jit(make_org_vunet_train_step(vunet, vgg_model, vgg_vars,
+                                                 txs, config,
+                                                 total_steps=100))
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(6):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(metrics["likelihood_loss"]))
+        assert losses[-1] < losses[0]
+        # kl ramp is 0 before half of total steps
+        assert float(metrics["kl_weight"]) == 0.0
