@@ -1,0 +1,298 @@
+"""Behavior-cVAE experiment driver: two-stage training + inference protocol.
+
+Re-design of /root/reference/experiments/behavior_net.py (1521 LoC):
+  stage 1 — cVAE with adversarial regressor + probe classifiers + adaptive
+            gamma (jitted step from train/behavior.py); net updates freeze
+            for the last 10 epochs while probes keep training (ref :680).
+  stage 2 — normalizing-flow prior over frozen posterior latents, 5 epochs
+            (ref :108, :951-1014).
+  inference — ADE/FDE/ASD/FSD/APD over n_samples prior AND flow rollouts.
+            TPU-first change: the reference's 50-iteration python sampling
+            loop (ref :1183-1232) becomes ONE batched rollout of B*S
+            sequences through the scan decoder.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core import schedules
+from ..core.rng import KeySeq
+from ..geometry.normalization import unnormalize
+from ..metrics import sequence_sample_metrics
+from ..models import (
+    ClassifierAction,
+    ClassifierActionBeta,
+    ResidualBehaviorNet,
+    RegressorFly,
+)
+from ..models.discriminators import SequenceDiscMichael
+from ..models.flows import LatentFlow
+from ..train.behavior import (
+    create_behavior_state,
+    make_behavior_eval_step,
+    make_behavior_train_step,
+)
+from ..train.flow import create_flow_state, make_flow_train_step
+from .base import Experiment
+from .data_factory import build_sequence_data, normalize_action_labels
+
+
+class BehaviorNetExperiment(Experiment):
+    def __init__(self, config, dirs):
+        super().__init__(config, dirs)
+        self.only_flow = bool(config.training.get("only_flow", False))
+        self.n_flow_epochs = (int(config.training.n_epochs)
+                              if self.only_flow else 5)
+
+    # -- construction -------------------------------------------------------
+    def _build_models(self, n_kps: int, n_actions: int, seq_len: int):
+        arch = self.config.architecture
+        model = ResidualBehaviorNet(
+            n_kps=n_kps,
+            dim_hidden_b=int(arch.get("dim_hidden_b", 1024)),
+            decoder_arch=str(arch.get("decoder_arch", "lstm")),
+            use_nin_dec=bool(arch.get("linear_in_decoder", False)),
+            information_bottleneck=True,
+        )
+        regressor = RegressorFly(n_out=n_kps, seq_length=seq_len)
+        cls_action = ClassifierAction(n_classes=n_actions, dim=512)
+        cls_action2 = SequenceDiscMichael(layers=(2, 1, 1, 1),
+                                          out_dim=n_actions)
+        cls_beta = ClassifierActionBeta(n_classes=n_actions)
+        return model, regressor, cls_action, cls_action2, cls_beta
+
+    def _build_flow(self):
+        arch = self.config.architecture
+        hid = int(arch.get("dim_hidden_b", 1024))
+        return LatentFlow(
+            flow_in_channels=hid,
+            flow_mid_channels=hid * int(arch.get("flow_mid_channels_factor",
+                                                 2)),
+            flow_hidden_depth=int(arch.get("flow_hidden_depth", 2)),
+            n_flows=int(arch.get("n_flows", 15)),
+        )
+
+    def _make_txs(self, n_steps: int):
+        tr = self.config.training
+        lr = float(tr.get("lr_init", 1e-4))
+        schedule = schedules.multistep_lr(
+            lr, n_steps, list(tr.get("tau", [0.2, 0.45, 0.7])),
+            float(tr.get("gamma", 0.3)))
+        wd = float(tr.get("weight_decay", 0.0))
+        net_tx = (optax.adamw(schedule, weight_decay=wd) if wd > 0
+                  else optax.adam(schedule))
+        return {
+            "net": net_tx,
+            "regressor": optax.adam(1e-4),
+            "cls_action": optax.adam(1e-4),
+            "cls_action2": optax.adam(1e-4),
+            "cls_beta": optax.adam(1e-4),
+        }
+
+    # -- training -----------------------------------------------------------
+    def run_training(self):
+        cfg = self.config
+        train_loader, meta = build_sequence_data(cfg, "train")
+        test_loader, _ = build_sequence_data(cfg, "test")
+        seq_len = meta["seq_len"]
+        n_epochs = int(cfg.training.n_epochs)
+        if self.debug:
+            n_epochs = min(n_epochs, 2)
+        steps_per_epoch = max(1, len(train_loader))
+
+        models = self._build_models(meta["n_kps"], meta["n_actions"],
+                                    seq_len)
+        model, regressor, cls_action, cls_action2, cls_beta = models
+        txs = self._make_txs(n_epochs * steps_per_epoch)
+
+        ks = KeySeq(int(cfg.general.get("seed", 42)))
+        sample_batch = {k: jnp.asarray(v)
+                        for k, v in next(iter(train_loader)).items()}
+        state = create_behavior_state(
+            ks(), model, regressor, cls_action, cls_action2, cls_beta,
+            txs, sample_batch, seq_len,
+            gamma_init=float(cfg.training.get("gamma_init", 0.0)))
+        state, start_step, mgr = self.maybe_restore("reg_ckpt", state)
+        state = self.place(state)
+
+        step_fn = jax.jit(
+            make_behavior_train_step(model, regressor, cls_action,
+                                     cls_action2, cls_beta, txs, cfg,
+                                     seq_len),
+            static_argnames=(),
+        )
+        eval_fn = jax.jit(make_behavior_eval_step(model, seq_len))
+
+        start_epoch = int(start_step) // steps_per_epoch
+        if not self.only_flow:
+            for epoch in range(start_epoch, n_epochs):
+                enable = jnp.asarray(epoch < n_epochs - 10 or n_epochs <= 10)
+                for batch in train_loader:
+                    batch = self._prep_batch(batch, meta)
+                    state, metrics = step_fn(state, batch, ks(), enable)
+                    self.avg.update(jax.device_get(metrics))
+                step = int(jax.device_get(state.step))
+                self.logger.log(self.avg.averages(), step, prefix="train/")
+                if (epoch + 1) % int(cfg.get("logging", {}).get(
+                        "n_epoch_eval", 1)) == 0:
+                    self._run_eval(eval_fn, state, test_loader, meta, ks,
+                                   step)
+                mgr.save(step, jax.device_get(state))
+            mgr.save(int(jax.device_get(state.step)),
+                     jax.device_get(state), force=True)
+
+        # ---- flow stage ---------------------------------------------------
+        flow_model = self._build_flow()
+        flow_tx = optax.adam(
+            float(cfg.training.get("flow_lr", 4.5e-7))
+            * int(cfg.training.batch_size))
+        sample_b = self._infer_b(model, state, sample_batch, ks())
+        fstate = create_flow_state(ks(), flow_model, flow_tx, sample_b)
+        fstate, fstart, fmgr = self.maybe_restore("flow_ckpt", fstate)
+        fstate = self.place(fstate)
+        flow_step = jax.jit(make_flow_train_step(model, flow_model, flow_tx,
+                                                 seq_len))
+        for epoch in range(self.n_flow_epochs if not self.debug else 1):
+            for batch in train_loader:
+                batch = self._prep_batch(batch, meta)
+                fstate, fmetrics = flow_step(fstate, state.net.params,
+                                             batch, ks())
+                self.avg.update(jax.device_get(fmetrics))
+            fstep = int(jax.device_get(fstate.step))
+            self.logger.log(self.avg.averages(), fstep, prefix="flow/")
+            fmgr.save(fstep, jax.device_get(fstate))
+        return state, fstate
+
+    # -- helpers ------------------------------------------------------------
+    def _prep_batch(self, batch, meta) -> Dict[str, jnp.ndarray]:
+        out = {
+            "keypoints": np.asarray(batch["keypoints"], np.float32),
+            "paired_keypoints": np.asarray(
+                batch.get("paired_keypoints", batch["keypoints"]),
+                np.float32),
+            "action": normalize_action_labels(
+                np.asarray(batch["action"]), meta["action_offset"]),
+        }
+        return self.place_batch(out)
+
+    def _infer_b(self, model, state, batch, key):
+        seq_b = jnp.asarray(batch["keypoints"])[:, :-1]
+        b, *_ = model.apply({"params": state.net.params}, seq_b,
+                            sample=False, rngs={"sample": key},
+                            method=model.infer_b)
+        return jax.lax.stop_gradient(b)
+
+    def _run_eval(self, eval_fn, state, test_loader, meta, ks, step,
+                  n_sample_batches: int = 2):
+        mets = []
+        for i, batch in enumerate(test_loader):
+            batch = self._prep_batch(batch, meta)
+            m, _ = eval_fn(state.net.params, batch, ks())
+            mets.append({k: float(v) for k, v in jax.device_get(m).items()})
+            if i + 1 >= n_sample_batches:
+                break
+        if mets:
+            avg = {k: float(np.mean([m[k] for m in mets]))
+                   for k in mets[0]}
+            self.logger.log(avg, step, prefix="eval/")
+
+    # -- batched sampling (the TPU replacement of the 50x python loop) ------
+    @partial(jax.jit, static_argnames=("self", "model", "seq_len",
+                                       "n_samples", "b_dim", "flow_model"))
+    def _sample_rollouts(self, model, net_params, seq_start, n_samples: int,
+                         seq_len: int, key, b_dim: int,
+                         flow_model=None, flow_variables=None):
+        """seq_start: (B, K) start poses -> (B, S, T, K) rollouts."""
+        B, K = seq_start.shape
+        z = jax.random.normal(key, (B * n_samples, b_dim))
+        if flow_model is not None:
+            b = flow_model.apply(flow_variables, z, method=flow_model.reverse)
+        else:
+            b = z
+        starts = jnp.repeat(seq_start, n_samples, axis=0)
+        xs, _ = model.apply({"params": net_params}, b, starts[:, None],
+                            seq_len, method=model.generate_seq)
+        return xs.reshape(B, n_samples, seq_len, K)
+
+    # -- inference protocol -------------------------------------------------
+    def run_inference(self, n_samples: int = 50, max_batches: int = 50):
+        cfg = self.config
+        test_loader, meta = build_sequence_data(cfg, "test")
+        seq_len = meta["seq_len"]
+        models = self._build_models(meta["n_kps"], meta["n_actions"],
+                                    seq_len)
+        model = models[0]
+        txs = self._make_txs(1000)
+
+        ks = KeySeq(int(cfg.general.get("seed", 42)))
+        sample_batch = {k: jnp.asarray(v)
+                        for k, v in next(iter(test_loader)).items()}
+        template = create_behavior_state(ks(), *models, txs, sample_batch,
+                                         seq_len)
+        restored = self.ckpt_manager("reg_ckpt").restore_latest(template)
+        if restored is None:
+            raise FileNotFoundError("no behavior checkpoint to evaluate")
+        state, _ = restored
+
+        flow_model = self._build_flow()
+        flow_variables = None
+        sample_b = self._infer_b(model, state, sample_batch, ks())
+        ftemplate = create_flow_state(ks(), flow_model, optax.adam(1e-4),
+                                      sample_b)
+        frestored = self.ckpt_manager("flow_ckpt").restore_latest(ftemplate)
+        if frestored is not None:
+            fstate, _ = frestored
+            flow_variables = {"params": fstate.flow.params,
+                              "buffers": fstate.flow.buffers}
+
+        stats = meta["norm_stats"]
+        b_dim = int(cfg.architecture.get("dim_hidden_b", 1024))
+
+        def to_3d(flat):
+            arr = np.asarray(flat)
+            if stats is not None:
+                arr = np.asarray(unnormalize(arr, stats))
+            return arr.reshape(arr.shape[:-1] + (-1, 3))
+
+        results: Dict[str, list] = {"prior": [], "flow": []}
+        recon_mse = []
+        eval_fn = jax.jit(make_behavior_eval_step(model, seq_len))
+        for i, batch in enumerate(test_loader):
+            batch = self._prep_batch(batch, meta)
+            m, _ = eval_fn(state.net.params, batch, ks())
+            recon_mse.append(float(m["recon_mse"]))
+            kps = batch["keypoints"]
+            seq_start = kps[:, 0]
+            gt = to_3d(kps[:, 1:])
+            samples = self._sample_rollouts(
+                model, state.net.params, seq_start, n_samples, seq_len,
+                ks(), b_dim)
+            results["prior"].append(
+                {k: float(v) for k, v in sequence_sample_metrics(
+                    jnp.asarray(to_3d(samples)), jnp.asarray(gt)).items()})
+            if flow_variables is not None:
+                fsamples = self._sample_rollouts(
+                    model, state.net.params, seq_start, n_samples, seq_len,
+                    ks(), b_dim, flow_model, flow_variables)
+                results["flow"].append(
+                    {k: float(v) for k, v in sequence_sample_metrics(
+                        jnp.asarray(to_3d(fsamples)),
+                        jnp.asarray(gt)).items()})
+            if i + 1 >= max_batches or (self.debug and i >= 1):
+                break
+
+        summary = {"recon_mse": float(np.mean(recon_mse))}
+        for src, rows in results.items():
+            if rows:
+                for k in rows[0]:
+                    summary[f"{k}_{src}"] = float(
+                        np.mean([r[k] for r in rows]))
+        self.logger.log(summary, 0, prefix="infer/")
+        print("inference:", summary)
+        return summary

@@ -1,0 +1,100 @@
+"""MT-VAE baseline experiment driver (reference experiments/mt_vae.py)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.rng import KeySeq
+from ..metrics import sequence_sample_metrics
+from ..models.mtvae import MTVAE
+from ..train.mtvae_exp import create_mtvae_state, make_mtvae_train_step
+from .base import Experiment
+from .data_factory import build_sequence_data
+
+
+class MTVAEExperiment(Experiment):
+    def _make_tx(self):
+        return optax.adamw(float(self.config.training.get("lr_init", 1e-4)),
+                           weight_decay=float(
+                               self.config.training.get("weight_decay",
+                                                        0.0)))
+
+    def run_training(self):
+        cfg = self.config
+        train_loader, meta = build_sequence_data(cfg, "train")
+        n_epochs = int(cfg.training.n_epochs)
+        if self.debug:
+            n_epochs = min(n_epochs, 2)
+        steps = max(1, len(train_loader)) * max(1, n_epochs - 10)
+
+        model = MTVAE(n_in=meta["n_kps"],
+                      n_cond=int(cfg.training.get("n_cond", 10)))
+        tx = self._make_tx()
+        ks = KeySeq(int(cfg.general.get("seed", 42)))
+        sample = {k: jnp.asarray(v)
+                  for k, v in next(iter(train_loader)).items()}
+        state = create_mtvae_state(ks(), model, tx, sample)
+        state, start, mgr = self.maybe_restore("reg_ckpt", state)
+        state = self.place(state)
+
+        step_fn = jax.jit(make_mtvae_train_step(model, tx, cfg, steps))
+        steps_per_epoch = max(1, len(train_loader))
+        for epoch in range(int(start) // steps_per_epoch, n_epochs):
+            enable = jnp.asarray(epoch < n_epochs - 10 or n_epochs <= 10)
+            for batch in train_loader:
+                batch = self.place_batch({
+                    "keypoints": np.asarray(batch["keypoints"], np.float32),
+                    "paired_keypoints": np.asarray(
+                        batch["paired_keypoints"], np.float32),
+                })
+                state, metrics = step_fn(state, batch, ks(), enable)
+                self.avg.update(jax.device_get(metrics))
+            step = int(jax.device_get(state.step))
+            self.logger.log(self.avg.averages(), step, prefix="train/")
+            mgr.save(step, jax.device_get(state))
+        return state
+
+    def run_inference(self, n_samples: int = 50, max_batches: int = 20):
+        cfg = self.config
+        test_loader, meta = build_sequence_data(cfg, "test")
+        model = MTVAE(n_in=meta["n_kps"],
+                      n_cond=int(cfg.training.get("n_cond", 10)))
+        tx = self._make_tx()  # must match training for restore structure
+        ks = KeySeq(int(cfg.general.get("seed", 42)))
+        sample = {k: jnp.asarray(v)
+                  for k, v in next(iter(test_loader)).items()}
+        template = create_mtvae_state(ks(), model, tx, sample)
+        restored = self.ckpt_manager("reg_ckpt").restore_latest(template)
+        if restored is None:
+            raise FileNotFoundError("no mtvae checkpoint to evaluate")
+        state, _ = restored
+
+        @jax.jit
+        def sample_many(params, kps, cross, key):
+            def one(k):
+                out, *_ = model.apply(
+                    {"params": params}, kps, cross, sample_prior=True,
+                    rngs={"sample": k})
+                return out
+            keys = jax.random.split(key, n_samples)
+            return jax.vmap(one)(keys)  # (S, B, T, K)
+
+        rows = []
+        for i, batch in enumerate(test_loader):
+            kps = jnp.asarray(batch["keypoints"], jnp.float32)
+            cross = jnp.asarray(batch["paired_keypoints"], jnp.float32)
+            samples = sample_many(state.net.params, kps, cross, ks())
+            samples = jnp.swapaxes(samples, 0, 1)  # (B, S, T, K)
+            gt = kps[:, model.n_cond:]
+            s3 = samples.reshape(samples.shape[:3] + (-1, 3))
+            g3 = gt.reshape(gt.shape[:2] + (-1, 3))
+            rows.append({k: float(v) for k, v in
+                         sequence_sample_metrics(s3, g3).items()})
+            if i + 1 >= max_batches or (self.debug and i >= 1):
+                break
+        summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        self.logger.log(summary, 0, prefix="infer/")
+        print("mtvae inference:", summary)
+        return summary

@@ -1,0 +1,242 @@
+"""cvbae experiment driver: VUNet-alter with KL-to-prior bottleneck.
+
+Re-design of /root/reference/experiments/shape_and_pose_net.py (998 LoC):
+trains the alter-variant VUNet with perceptual likelihood + adaptive-gamma
+KL + probe regressor; evaluates SSIM / IS periodically; metric-stamped
+checkpoints.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.rng import KeySeq
+from ..data import (
+    Human36mDataset,
+    Loader,
+    PerPersonSampler,
+    ReconstructionSampler,
+    SequenceSampler,
+    RandomSampler,
+    get_dataset,
+)
+from ..data.synthetic_images import SyntheticImageDataset
+from ..metrics import ssim as ssim_fn
+from ..models.perceptual import PerceptualVGG19, load_npz_params
+from ..models.vunet import VUNet, VunetRegressor, compute_n_scales
+from ..train.vunet_exp import (
+    create_vunet_state,
+    make_cvbae_train_step,
+    make_org_vunet_train_step,
+)
+from .base import Experiment
+
+
+class ShapePoseExperiment(Experiment):
+    variant = "alter"
+
+    def _build_data(self, mode: str):
+        dcfg = self.config.data
+        bs = int(self.config.training.batch_size)
+        name = str(dcfg.get("dataset", "synthetic_images")).lower()
+        if name in ("synthetic_images", "synthetic"):
+            ds = SyntheticImageDataset(
+                n_persons=int(dcfg.get("n_persons", 8)),
+                frames_per_person=int(dcfg.get("frames_per_person", 16)),
+                spatial_size=int(dcfg.get("spatial_size", 64)),
+                seed=0 if mode == "train" else 1,
+                with_reg=bool(self.config.training.get("train_regressor",
+                                                       False)),
+            )
+
+            class _Adapter:
+                def __init__(self, ds, bs, mode):
+                    self.ds, self.bs = ds, bs
+                    self._epoch = 1 if mode == "train" else 1000
+
+                def __len__(self):
+                    return len(self.ds) // self.bs
+
+                def __iter__(self):
+                    self._epoch += 1
+                    return self.ds.batches(self.bs, seed=self._epoch)
+
+            return _Adapter(ds, bs, mode), ds
+        # real datasets
+        cls = get_dataset({"dataset": name})
+        data_keys = ["pose_img", "stickman", "app_img", "sample_ids"]
+        kwargs = {k: v for k, v in dcfg.items()
+                  if k not in ("dataset", "seq_length")}
+        ds = cls(transforms=None, data_keys=data_keys,
+                 seq_length=tuple(dcfg.get("seq_length", (0, 0))),
+                 mode=mode, train_regressor=bool(
+                     self.config.training.get("train_regressor", False)),
+                 **kwargs)
+        sampler_ids = (PerPersonSampler(ds)
+                       if getattr(ds, "person_ids", None) else
+                       RandomSampler(ds))
+        sampler = SequenceSampler(ds, sampler_ids, bs)
+        return Loader(ds, sampler,
+                      num_workers=int(dcfg.get("n_data_workers", 8))), ds
+
+    def _build_models(self, spatial_size: int, n_channels_x: int):
+        arch = self.config.architecture
+        vunet = VUNet(
+            spatial_size=spatial_size,
+            n_channels_x=n_channels_x,
+            nf_start=int(arch.get("nf_start", 32)),
+            nf_max=int(arch.get("nf_max", 128)),
+            n_latent_scales=int(arch.get("n_latent_scales", 2)),
+            bottleneck_factor=int(self.config.data.get("bottleneck_factor",
+                                                       2)),
+            box_factor=int(self.config.data.get("box_factor", 2)),
+            n_scales_cfg=int(arch.get("n_scales", 0)),
+            subpixel_upsampling=bool(arch.get("subpixel_upsampling", True)),
+            conv_layer_type=str(arch.get("conv_layer_type", "l1")),
+            variant=self.variant,
+            dropout_prob=float(self.config.training.get("dropout_prob",
+                                                        0.0)),
+            dtype=jnp.bfloat16 if bool(self.config.training.get(
+                "bf16", True)) else jnp.float32,
+        )
+        n_scales = compute_n_scales(spatial_size,
+                                    int(self.config.data.get(
+                                        "bottleneck_factor", 2)),
+                                    int(arch.get("n_scales", 0)))
+        bottleneck = spatial_size // 2 ** (n_scales - 1)
+        latent_widths = [bottleneck * 2 ** i
+                         for i in range(int(arch.get("n_latent_scales", 2)))]
+        regressor = None
+        if bool(self.config.training.get("train_regressor", False)):
+            regressor = VunetRegressor(
+                n_out=36, latent_widths=latent_widths,
+                nf_max=int(arch.get("nf_max", 128)),
+                linear_width_factor=int(arch.get("linear_width_factor", 1)),
+                n_linear=int(arch.get("n_linear", 2)))
+        return vunet, regressor
+
+    def _build_vgg(self, spatial_size: int, key):
+        vgg = PerceptualVGG19()
+        x = jnp.zeros((1, spatial_size, spatial_size, 3))
+        weights_path = self.config.training.get("vgg_weights_path")
+        if weights_path:
+            variables = load_npz_params(str(weights_path))
+        else:
+            variables = vgg.init(key, x)
+        return vgg, variables
+
+    def run_training(self):
+        cfg = self.config
+        train_loader, train_ds = self._build_data("train")
+        spatial = int(cfg.data.get("spatial_size", 64))
+        inplane = bool(cfg.data.get("inplane_normalize", False))
+        n_channels_x = 30 if inplane else 3
+
+        vunet, regressor = self._build_models(spatial, n_channels_x)
+        ks = KeySeq(int(cfg.general.get("seed", 42)))
+        vgg, vgg_vars = self._build_vgg(spatial, ks())
+
+        txs = {
+            "vunet": optax.adam(
+                float(cfg.training.get("lr", 5e-4)),
+                b1=float(cfg.training.get("adam_betas", (0.5, 0.9))[0]),
+                b2=float(cfg.training.get("adam_betas", (0.5, 0.9))[1])),
+            "regressor": optax.adam(1e-4),
+        }
+
+        sample = {k: jnp.asarray(v)
+                  for k, v in next(iter(train_loader)).items()}
+        state = create_vunet_state(ks(), vunet, regressor, vgg, txs, sample)
+        state, start, mgr = self.maybe_restore("reg_ckpt", state)
+        state = self.place(state)
+
+        step_fn = jax.jit(self._make_step(vunet, regressor, vgg, vgg_vars,
+                                          txs))
+
+        end_iteration = int(cfg.training.get("end_iteration", 1000))
+        if self.debug:
+            end_iteration = min(end_iteration, 8)
+        ckpt_steps = int(cfg.get("logging", {}).get("ckpt_steps", 500))
+        metric_steps = int(cfg.get("metrics", {}).get("n_it_metrics", 1000))
+
+        it = int(start)
+        while it < end_iteration:
+            for batch in train_loader:
+                batch = self.place_batch(batch)
+                state, metrics = step_fn(state, batch, ks())
+                self.avg.update(jax.device_get(metrics))
+                it += 1
+                if it % 50 == 0 or it == end_iteration:
+                    self.logger.log(self.avg.averages(), it,
+                                    prefix="train/")
+                if it % ckpt_steps == 0 or it == end_iteration:
+                    mgr.save(it, jax.device_get(state), force=True)
+                if it % metric_steps == 0:
+                    self._eval_ssim(vunet, state, it, ks)
+                if it >= end_iteration:
+                    break
+        mgr.save(it, jax.device_get(state), force=True)
+        return state
+
+    def _make_step(self, vunet, regressor, vgg, vgg_vars, txs):
+        return make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
+                                     self.config)
+
+    def _eval_ssim(self, vunet, state, step, ks, max_batches: int = 4):
+        loader, _ = self._build_data("test")
+        vals = []
+
+        @jax.jit
+        def recon(params, app, stick, key):
+            return vunet.apply({"params": params}, app, stick,
+                               rngs={"sample": key},
+                               method=vunet.transfer)
+
+        for i, batch in enumerate(loader):
+            out = recon(state.vunet.params, jnp.asarray(batch["app_img"]),
+                        jnp.asarray(batch["stickman"]), ks())
+            target = jnp.asarray(batch["pose_img"])
+            v = ssim_fn((out.astype(jnp.float32) + 1) / 2,
+                        (target + 1) / 2)
+            vals.append(np.asarray(v))
+            if i + 1 >= max_batches:
+                break
+        val = float(np.mean(np.concatenate(vals)))
+        self.logger.log({"ssim": val}, step, prefix="eval/")
+        return val
+
+    def run_inference(self):
+        cfg = self.config
+        spatial = int(cfg.data.get("spatial_size", 64))
+        inplane = bool(cfg.data.get("inplane_normalize", False))
+        vunet, regressor = self._build_models(spatial, 30 if inplane else 3)
+        ks = KeySeq(int(cfg.general.get("seed", 42)))
+        vgg, _ = self._build_vgg(spatial, ks())
+        loader, _ = self._build_data("test")
+        txs = {"vunet": optax.adam(1e-4), "regressor": optax.adam(1e-4)}
+        sample = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+        template = create_vunet_state(ks(), vunet, regressor, vgg, txs,
+                                      sample)
+        restored = self.ckpt_manager("reg_ckpt").restore_latest(template)
+        if restored is None:
+            raise FileNotFoundError("no cvbae checkpoint to evaluate")
+        state, _ = restored
+        val = self._eval_ssim(vunet, state, 0, ks, max_batches=16)
+        print(f"inference SSIM: {val:.4f}")
+        return {"ssim": val}
+
+
+class VunetExperiment(ShapePoseExperiment):
+    """Original VUNet (org variant, DeepFashion/Market) — reference
+    experiments/vunet.py."""
+
+    variant = "org"
+
+    def _make_step(self, vunet, regressor, vgg, vgg_vars, txs):
+        total = int(self.config.training.get("end_iteration", 1000))
+        return make_org_vunet_train_step(vunet, vgg, vgg_vars, txs,
+                                         self.config, total)

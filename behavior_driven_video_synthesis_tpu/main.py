@@ -1,0 +1,95 @@
+"""CLI entry point — mirrors the reference's public surface
+(/root/reference/main.py:76-132):
+
+    python -m behavior_driven_video_synthesis_tpu.main \
+        --config configs/behavior_net.yaml [--restart] [--flow] \
+        [--mode train|infer] [--debug] [--synth_model DIR] \
+        [--pretrained_model DIR]
+
+Semantics preserved: dir structure ``{ckpt,config,generated,log}/<project>``
+under ``base_dir/experiment``; the config is dumped on first run and
+RELOADED from the run dir on --restart so hyperparameters are immutable;
+``--flow`` switches the behavior experiment to flow-only training;
+``DATAPATH`` env var re-roots base_dir/datapath.  ``--gpu`` is accepted and
+ignored (device selection is the JAX mesh).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from os import path
+
+from .core.config import Config, load_config, save_config
+
+
+def create_dir_structure(config: Config, model_name: str):
+    subdirs = ["ckpt", "config", "generated", "log"]
+    base = path.join(config.general.base_dir, config.general.experiment)
+    return {d: path.join(base, d, model_name) for d in subdirs}
+
+
+def load_parameters(config_name: str, restart: bool, debug: bool):
+    config = load_config(config_name)
+    if debug:
+        config.general["debug"] = True
+        config.general["project_name"] = "debug"
+    if "DATAPATH" in os.environ:
+        dp = os.environ["DATAPATH"]
+        config.general["base_dir"] = path.join(
+            dp, config.general.base_dir.lstrip("/"))
+        if config.data.get("datapath"):
+            config.data["datapath"] = path.join(
+                dp, str(config.data.datapath).lstrip("/"))
+    dirs = create_dir_structure(config, config.general.project_name)
+    saved_cfg = path.join(dirs["config"], "config.yaml")
+    if restart and path.exists(saved_cfg):
+        config = load_config(saved_cfg)
+        if debug:
+            config.general["debug"] = True
+    else:
+        os.makedirs(dirs["config"], exist_ok=True)
+        save_config(config, saved_cfg)
+    config.general["restart"] = restart
+    return config, dirs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="behavior_driven_video_synthesis_tpu")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--restart", action="store_true")
+    parser.add_argument("--flow", action="store_true",
+                        help="train only the flow stage of behavior_net")
+    parser.add_argument("--gpu", type=int, nargs="*", default=None,
+                        help="accepted for CLI parity; devices come from "
+                             "the JAX mesh")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "infer"])
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--visualization", action="store_true")
+    parser.add_argument("--synth_model", type=str, default=None,
+                        help="pretrained synthesis run dir for video "
+                             "rendering")
+    parser.add_argument("--pretrained_model", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    config, dirs = load_parameters(args.config, args.restart, args.debug)
+    if args.flow:
+        config.training["only_flow"] = True
+    if args.synth_model:
+        config.setdefault("logging", Config())
+        config.logging["synth_params"] = args.synth_model
+    if args.pretrained_model:
+        config.general["pretrained_model"] = args.pretrained_model
+
+    from .experiments import select_experiment
+
+    experiment = select_experiment(config, dirs, args.restart)
+    if args.mode == "train":
+        experiment.run_training()
+    else:
+        experiment.run_inference()
+
+
+if __name__ == "__main__":
+    main()
