@@ -1,0 +1,128 @@
+"""The end-to-end behavior-transfer video program — ONE compiled call.
+
+North-star deliverable (BASELINE.json): sample a behavior latent (flow
+inverse or posterior), roll out the residual decoder from a target start
+posture, unnormalize to world coordinates, project through the camera,
+rasterize stickmen ON DEVICE, and render RGB frames with the VUNet — all
+inside a single jit so no intermediate ever leaves the chip.
+
+The reference runs this as a per-frame host loop: python rollout ->
+numpy unnormalize -> cv2 stickman -> torch VUNet per frame
+(/root/reference/data/data_conversions_3d.py:1068-1228,
+lib/logging.py:103-906).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry.camera import apply_affine_transform, camera_projection
+from .geometry.stickman import JointModel, render_stickman
+
+
+class BehaviorTransferPipeline:
+    """Bundles behavior net + flow + VUNet params into one jitted program.
+
+    All shape-determining settings are fixed at construction; `generate`
+    is jit-compiled once per (batch, length) signature.
+    """
+
+    def __init__(self, behavior_model, vunet, joint_model: JointModel,
+                 norm_mean: np.ndarray, norm_std: np.ndarray,
+                 dim_to_use: np.ndarray,
+                 spatial_size: int = 256,
+                 stickman_thickness: float = 5.0,
+                 flow_model=None):
+        self.behavior_model = behavior_model
+        self.vunet = vunet
+        self.flow_model = flow_model
+        self.joint_model = joint_model
+        self.spatial_size = spatial_size
+        self.thickness = stickman_thickness
+        self.norm_mean = jnp.asarray(norm_mean)
+        self.norm_std = jnp.asarray(norm_std)
+        self.dim_to_use = jnp.asarray(np.asarray(dim_to_use))
+        self.full_dim = int(norm_mean.shape[0])
+
+    # -- stages (all pure, called inside jit) -------------------------------
+    def _unnormalize(self, flat):
+        out_shape = flat.shape[:-1] + (self.full_dim,)
+        full = jnp.zeros(out_shape, flat.dtype)
+        full = full.at[..., self.dim_to_use].set(flat)
+        return full * self.norm_std + self.norm_mean
+
+    def _project(self, world_kps, extrinsics, intrinsics, image_size):
+        """world (B, T, K, 3) -> stickman-pixel coords (B, T, K, 2)."""
+        cam = apply_affine_transform(world_kps,
+                                     extrinsics[:, None, None, :, :])
+        # camera_projection consumes (..., K, 3); its params broadcast over
+        # the (B, T) batch dims, so intrinsics go in as (B, 1, 4)
+        px = camera_projection(cam, intrinsics[:, None, :])
+        scale = self.spatial_size / image_size  # (B, 2)
+        return px * scale[:, None, None, :]
+
+    @partial(jax.jit, static_argnames=("self", "length", "use_flow"))
+    def generate(self, params: Dict[str, Any], z, x_start, app_img,
+                 extrinsics, intrinsics, image_size, key,
+                 length: int = 50, use_flow: bool = True):
+        """Generate a behavior-transfer video.
+
+        Args:
+          params: {"behavior": net params, "vunet": vunet params,
+                   "flow": flow variables (params+buffers) or None}
+          z: (B, H) base-gaussian codes (or behavior latents when not
+             use_flow).
+          x_start: (B, K_norm) start posture (normalized coords).
+          app_img: (B, S, S, 3) appearance image in [-1, 1].
+          extrinsics: (B, 3, 4); intrinsics: (B, 4); image_size: (B, 2).
+          key: PRNG key for the VUNet encoder sampling.
+
+        Returns:
+          dict with "frames" (B, T, S, S, 3), "stickman", "poses_3d",
+          "keypoints_2d".
+        """
+        B = z.shape[0]
+        if use_flow and self.flow_model is not None:
+            b = self.flow_model.apply(params["flow"], z,
+                                      method=self.flow_model.reverse)
+        else:
+            b = z
+
+        xs, _ = self.behavior_model.apply(
+            {"params": params["behavior"]}, b, x_start[:, None], length,
+            method=self.behavior_model.generate_seq)          # (B, T, Kn)
+
+        world = self._unnormalize(xs)
+        world = world.reshape(B, length, -1, 3)               # (B, T, K, 3)
+        px = self._project(world, extrinsics, intrinsics, image_size)
+
+        stick = render_stickman(px, self.joint_model, self.spatial_size,
+                                thickness=self.thickness)     # (B,T,S,S,3)
+        stick = stick / 127.5 - 1.0
+
+        flat_stick = stick.reshape((B * length,) + stick.shape[2:])
+        flat_app = jnp.repeat(app_img, length, axis=0)
+        frames = self.vunet.apply(
+            {"params": params["vunet"]}, flat_app, flat_stick,
+            rngs={"sample": key}, method=self.vunet.transfer)
+        frames = frames.reshape((B, length) + frames.shape[1:])
+        return {"frames": frames, "stickman": stick, "poses_3d": world,
+                "keypoints_2d": px}
+
+    @partial(jax.jit, static_argnames=("self", "length"))
+    def reenact(self, params, x_source, x_start, app_img, extrinsics,
+                intrinsics, image_size, key, length: int = 50):
+        """Transfer the behavior of x_source onto x_start's posture
+        (posterior mean path, no flow)."""
+        b, mu, logstd, _ = self.behavior_model.apply(
+            {"params": params["behavior"]}, x_source, sample=False,
+            rngs={"sample": key},
+            method=self.behavior_model.infer_b)
+        return self.generate(params, mu, x_start, app_img, extrinsics,
+                             intrinsics, image_size,
+                             jax.random.fold_in(key, 1), length=length,
+                             use_flow=False)

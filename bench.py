@@ -20,7 +20,84 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 NORTH_STAR_FPS = 2000.0
 
 
+def bench_pipeline():
+    """Full behavior-transfer program: flow sample -> rollout -> FK/project
+    -> device stickman -> VUNet, ONE jit.  Production sizes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from behavior_driven_video_synthesis_tpu.data.human36m import (
+        detailed_joint_model,
+    )
+    from behavior_driven_video_synthesis_tpu.models import (
+        ResidualBehaviorNet,
+    )
+    from behavior_driven_video_synthesis_tpu.models.flows import LatentFlow
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.pipeline import (
+        BehaviorTransferPipeline,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "2"))
+    S = int(os.environ.get("BENCH_SPATIAL", "256"))
+    T = int(os.environ.get("BENCH_LENGTH", "50"))
+    HID, K_FULL, K_USE = 1024, 51, 48
+
+    jm = detailed_joint_model(world_coords=True)
+    behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
+                                   dtype=jnp.bfloat16)
+    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
+                  dtype=jnp.bfloat16)
+    flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
+                      n_flows=15)
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    mean = rng.randn(K_FULL).astype(np.float32)
+    std = (np.abs(rng.rand(K_FULL)) + 0.5).astype(np.float32)
+    dim_to_use = np.arange(K_FULL)[np.arange(K_FULL) % 17 != 0][:K_USE]
+
+    x = jnp.zeros((B, T, K_USE))
+    bp = behavior.init({"params": key, "sample": key}, x, x, T)["params"]
+    app = jnp.zeros((B, S, S, 3))
+    vp = vunet.init({"params": key, "sample": key}, app, app)["params"]
+    fv = flow.init({"params": key}, jnp.zeros((B, HID)))
+
+    pipe = BehaviorTransferPipeline(behavior, vunet, jm, mean, std,
+                                    dim_to_use, spatial_size=S,
+                                    flow_model=flow)
+    params = {"behavior": bp, "vunet": vp, "flow": fv}
+    z = jax.random.normal(key, (B, HID))
+    x_start = jnp.zeros((B, K_USE))
+    extr = jnp.tile(jnp.asarray(
+        np.hstack([np.eye(3), [[0], [0], [4.0]]]), jnp.float32), (B, 1, 1))
+    intr = jnp.tile(jnp.asarray([1145.0, 500.0, 1143.0, 500.0]), (B, 1))
+    imsize = jnp.full((B, 2), 1000.0)
+
+    def run(k):
+        return pipe.generate(params, z, x_start, app, extr, intr, imsize,
+                             k, length=T)["frames"]
+
+    out = run(key)
+    out.block_until_ready()
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run(jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = B * T * n_iters / dt
+    print(json.dumps({
+        "metric": f"behavior_transfer_pipeline_{S}px_e2e",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "vunet") == "pipeline":
+        return bench_pipeline()
     import jax
     import jax.numpy as jnp
     from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
