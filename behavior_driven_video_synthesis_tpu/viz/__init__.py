@@ -1,0 +1,8 @@
+from .videos import (
+    write_video,
+    frames_to_uint8,
+    make_img_grid,
+    make_enrollment_strip,
+    create_video_3d,
+)
+from .latent import slerp, latent_interpolate

@@ -78,13 +78,16 @@ def bench_pipeline():
         return pipe.generate(params, z, x_start, app, extr, intr, imsize,
                              k, length=T)["frames"]
 
+    def force(o):
+        return float(jnp.sum(o.astype(jnp.float32)))
+
     out = run(key)
-    out.block_until_ready()
+    force(out)
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = run(jax.random.fold_in(key, i))
-    out.block_until_ready()
+    force(out)
     dt = time.perf_counter() - t0
     fps = B * T * n_iters / dt
     print(json.dumps({
@@ -124,15 +127,22 @@ def main():
         return model.apply(variables, x, c, rngs={"sample": key},
                            method=model.transfer)
 
+    def force(o):
+        # the tunneled TPU backend's block_until_ready returns before
+        # execution completes; fetching a scalar forces real completion
+        # (device executes enqueued programs in order)
+        return float(jnp.sum(o.astype(jnp.float32)))
+
     # warmup + compile
     out = transfer(variables, x, c, key)
-    out.block_until_ready()
+    force(out)
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "40"))
+    # amortize the one-off host<->device roundtrip over many iterations
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = transfer(variables, x, c, jax.random.fold_in(key, i))
-    out.block_until_ready()
+    force(out)
     dt = time.perf_counter() - t0
 
     fps = batch * n_iters / dt
