@@ -135,15 +135,24 @@ def normalize_parts(img: np.ndarray, kps: np.ndarray, joint_model,
     assert cv2 is not None
     oh = img.shape[0]
     wh = (part_size, part_size)
-    stacks: List[np.ndarray] = []
+    mats, valid = [], []
     for t_fn in joint_model.norm_T:
         T = t_fn(kps, jm=joint_model, wh=wh, oh=oh)
-        if T is None:
+        mats.append(np.eye(3) if T is None else T)
+        valid.append(T is not None)
+
+    from . import native
+    if native.available() and img.dtype == np.uint8 and img.shape[-1] == 3:
+        return native.assemble_part_stack(
+            img, np.stack(mats), np.asarray(valid, np.uint8), part_size)
+
+    stacks: List[np.ndarray] = []
+    for T, ok in zip(mats, valid):
+        if not ok:
             stacks.append(np.zeros((part_size, part_size, 3), img.dtype))
         else:
-            warped = cv2.warpPerspective(
-                img, T, wh, borderMode=cv2.BORDER_REPLICATE)
-            stacks.append(warped)
+            stacks.append(cv2.warpPerspective(
+                img, T, wh, borderMode=cv2.BORDER_REPLICATE))
     return np.concatenate(stacks, axis=-1)
 
 
