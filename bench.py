@@ -74,21 +74,26 @@ def bench_pipeline():
     intr = jnp.tile(jnp.asarray([1145.0, 500.0, 1143.0, 500.0]), (B, 1))
     imsize = jnp.full((B, 2), 1000.0)
 
-    def run(k):
-        return pipe.generate(params, z, x_start, app, extr, intr, imsize,
-                             k, length=T)["frames"]
+    n_iters = int(os.environ.get("BENCH_ITERS", "8"))
 
-    def force(o):
-        return float(jnp.sum(o.astype(jnp.float32)))
+    @jax.jit
+    def loop(k0):
+        def body(i, carry):
+            acc, k = carry
+            frames = pipe.generate(params, z, x_start, app, extr, intr,
+                                   imsize, k, length=T)["frames"]
+            return (acc + jnp.sum(frames.astype(jnp.float32)),
+                    jax.random.fold_in(k, i))
+        acc, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.zeros(()), k0))
+        return acc
 
-    out = run(key)
-    force(out)
-    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = run(jax.random.fold_in(key, i))
-    force(out)
-    dt = time.perf_counter() - t0
+    float(loop(key))  # compile + warm
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(loop(jax.random.fold_in(key, r)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     fps = B * T * n_iters / dt
     print(json.dumps({
         "metric": f"behavior_transfer_pipeline_{S}px_e2e",
@@ -105,7 +110,7 @@ def main():
     import jax.numpy as jnp
     from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     spatial = int(os.environ.get("BENCH_SPATIAL", "256"))
 
     model = VUNet(
@@ -122,28 +127,33 @@ def main():
         {"params": key, "sample": jax.random.fold_in(key, 1)}, x, c
     )
 
+    n_iters = int(os.environ.get("BENCH_ITERS", "25"))
+
+    # Methodology notes (this environment's TPU is behind a network relay):
+    #  * block_until_ready() returns BEFORE device execution completes, so
+    #    completion must be forced by fetching the (scalar) result;
+    #  * per-call dispatch costs 100-600 ms of relay jitter, so the timed
+    #    region is ONE dispatch of an in-jit fori_loop over n_iters;
+    #  * the residual single roundtrip is filtered by taking the min of a
+    #    few repeats.
     @jax.jit
-    def transfer(variables, x, c, key):
-        return model.apply(variables, x, c, rngs={"sample": key},
-                           method=model.transfer)
+    def loop(variables, x, c, key):
+        def body(i, carry):
+            acc, k = carry
+            out = model.apply(variables, x, c, rngs={"sample": k},
+                              method=model.transfer)
+            return (acc + jnp.sum(out.astype(jnp.float32)),
+                    jax.random.fold_in(k, i))
+        acc, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.zeros(()), key))
+        return acc
 
-    def force(o):
-        # the tunneled TPU backend's block_until_ready returns before
-        # execution completes; fetching a scalar forces real completion
-        # (device executes enqueued programs in order)
-        return float(jnp.sum(o.astype(jnp.float32)))
-
-    # warmup + compile
-    out = transfer(variables, x, c, key)
-    force(out)
-
-    n_iters = int(os.environ.get("BENCH_ITERS", "40"))
-    # amortize the one-off host<->device roundtrip over many iterations
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = transfer(variables, x, c, jax.random.fold_in(key, i))
-    force(out)
-    dt = time.perf_counter() - t0
+    float(loop(variables, x, c, key))  # compile + warm
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(loop(variables, x, c, jax.random.fold_in(key, r)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     fps = batch * n_iters / dt
     print(json.dumps({
