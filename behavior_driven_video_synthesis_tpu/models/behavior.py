@@ -141,6 +141,20 @@ class ResidualDecoder(nn.Module):
         return jnp.swapaxes(xs, 0, 1), jnp.swapaxes(cs, 0, 1)
 
 
+def decoder_rollout_kernel(decoder_params, b, x_start, length: int,
+                           use_pallas: bool = True, interpret: bool = False):
+    """Run a trained ResidualDecoder's rollout through the Pallas kernel
+    (ops/pallas/rollout.py): the entire T-step recurrence in one kernel with
+    weights pinned in VMEM.  LSTM decoders only."""
+    from ..ops.pallas.rollout import residual_lstm_rollout
+
+    p = decoder_params
+    return residual_lstm_rollout(
+        b, x_start, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"],
+        p["w_out"], p["b_out"], length, use_pallas=use_pallas,
+        interpret=interpret)
+
+
 class ResidualBehaviorNet(nn.Module):
     """Full behavior cVAE (reference pose_behavior_rnn.py:538-626).
 

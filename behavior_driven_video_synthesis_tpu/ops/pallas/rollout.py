@@ -64,9 +64,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("length", "use_pallas"))
+@partial(jax.jit, static_argnames=("length", "use_pallas", "interpret"))
 def residual_lstm_rollout(b, x0, w_ih, w_hh, b_ih, b_hh, w_out, b_out,
-                          length: int, use_pallas: bool = True):
+                          length: int, use_pallas: bool = True,
+                          interpret: bool = False):
     """Roll out ``length`` steps.
 
     Args:
@@ -125,5 +126,6 @@ def residual_lstm_rollout(b, x0, w_ih, w_hh, b_ih, b_hh, w_out, b_out,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(x0_p, b_p, w_ih_p, w_hh_b, bias, w_out_p, b_out_2d)
     return jnp.swapaxes(out, 0, 1)[:B, :, :K]

@@ -167,3 +167,26 @@ class TestProbes:
 
         fr = FCResnet(out_dim=32)
         assert fr.apply(fr.init(k0, b), b).shape == (B, 32)
+
+
+class TestPallasRolloutKernel:
+    def test_interpret_matches_decoder(self, rng):
+        """The Pallas rollout (interpret mode on CPU) must reproduce the
+        ResidualDecoder scan exactly (bf16 weight tolerance)."""
+        from behavior_driven_video_synthesis_tpu.models.behavior import (
+            decoder_rollout_kernel,
+        )
+        dec = ResidualDecoder(n_kps=K, dim_hidden=H)
+        b = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1)
+        x0 = jnp.asarray(rng.randn(B, K).astype(np.float32))
+        params = dec.init(jax.random.PRNGKey(0), b, x0, 7)
+        ref, _ = dec.apply(params, b, x0, 7)
+        out = decoder_rollout_kernel(params["params"], b, x0, 7,
+                                     use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=1e-2)
+        # exact-path fallback
+        out2 = decoder_rollout_kernel(params["params"], b, x0, 7,
+                                      use_pallas=False)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   atol=1e-5)
