@@ -294,8 +294,15 @@ class BaseDataset:
         return arr
 
     def _get_pose_img(self, ids):
-        out = [self._to_float(self._prep_image(int(i)))
-               for i in np.asarray(ids)]
+        out = []
+        for i in np.asarray(ids):
+            img = self._prep_image(int(i))
+            if self.use_crops:
+                from ..utils.boxes import crop_with_bbox
+                img = crop_with_bbox(img, self._get_kps_for_rendering(int(i)))
+                img = cv2.resize(img, (self.spatial_size, self.spatial_size),
+                                 interpolation=cv2.INTER_LINEAR)
+            out.append(self._to_float(img))
         return self._squeeze_seq(np.stack(out))
 
     def _get_app_img(self, ids):

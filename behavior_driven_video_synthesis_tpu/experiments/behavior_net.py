@@ -293,6 +293,108 @@ class BehaviorNetExperiment(Experiment):
                 for k in rows[0]:
                     summary[f"{k}_{src}"] = float(
                         np.mean([r[k] for r in rows]))
+
+        summary.update(self._run_posthoc_protocol(
+            model, state, flow_model, flow_variables, test_loader, meta,
+            ks, b_dim))
         self.logger.log(summary, 0, prefix="infer/")
         print("inference:", summary)
         return summary
+
+    def _run_posthoc_protocol(self, model, state, flow_model,
+                              flow_variables, test_loader, meta, ks,
+                              b_dim, max_cache: int = 1024):
+        """Cache rollouts per source and run the full protocol: ADE_c/FDE_c,
+        mu consistency, KS gaussianity of flow codes, post-hoc real/fake
+        classifiers + start-pose regressor, CF action-transfer scores
+        (reference behavior_net.py:1260-1522, lib/logging.py:2106-2226,
+        :2549-2562)."""
+        from .eval_protocol import (
+            action_transfer_scores,
+            cross_transfer_metrics,
+            ks_test_flow_gaussianity,
+            mu_consistency_metrics,
+            train_posthoc_classifiers,
+        )
+
+        seq_len = meta["seq_len"]
+
+        @partial(jax.jit, static_argnames=())
+        def forward_all(net_params, kps, kps_cross, key):
+            seq_s, seq_t = kps[:, :-1], kps_cross[:, :-1]
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            # cross transfer: behavior of source onto target start pose
+            xc, _, b, mu, logstd, _ = model.apply(
+                {"params": net_params}, seq_s, seq_t, seq_len,
+                rngs={"sample": k1})
+            # self decode from mu
+            x_self, _ = model.apply({"params": net_params}, mu, seq_s,
+                                    seq_len, method=model.generate_seq)
+            # prior sample rollout
+            xp, _, bp, *_ = model.apply(
+                {"params": net_params}, seq_s, seq_s, seq_len, sample=True,
+                rngs={"sample": k2})
+            # re-encode rollout + related sequence
+            _, mu_re, *_ = model.apply(
+                {"params": net_params}, xc, sample=False,
+                rngs={"sample": k3}, method=model.infer_b)
+            _, mu_rel, *_ = model.apply(
+                {"params": net_params}, seq_t, sample=False,
+                rngs={"sample": k4}, method=model.infer_b)
+            return xc, x_self, xp, mu, mu_re, mu_rel, b
+
+        caches = {k: [] for k in ["orig", "prior", "cross", "self",
+                                  "flow", "mu", "z", "labels", "start"]}
+        n_cached = 0
+        for batch in test_loader:
+            batch = self._prep_batch(batch, meta)
+            kps = batch["keypoints"]
+            xc, x_self, xp, mu, mu_re, mu_rel, b = forward_all(
+                state.net.params, kps, batch["paired_keypoints"], ks())
+            caches["orig"].append(np.asarray(kps[:, 1:]))
+            caches["cross"].append(np.asarray(xc))
+            caches["self"].append(np.asarray(x_self))
+            caches["prior"].append(np.asarray(xp))
+            caches["mu"].append(np.asarray(mu))
+            caches["labels"].append(np.asarray(batch["action"]))
+            caches["start"].append(np.asarray(kps[:, 0]))
+            caches.setdefault("mu_re", []).append(np.asarray(mu_re))
+            caches.setdefault("mu_rel", []).append(np.asarray(mu_rel))
+            if flow_variables is not None:
+                z, _ = flow_model.apply(flow_variables, b)
+                caches["z"].append(np.asarray(z))
+                zs = jax.random.normal(ks(), b.shape)
+                bflow = flow_model.apply(flow_variables, zs,
+                                         method=flow_model.reverse)
+                xf, _ = model.apply({"params": state.net.params}, bflow,
+                                    kps[:, :-1], seq_len,
+                                    method=model.generate_seq)
+                caches["flow"].append(np.asarray(xf))
+            n_cached += kps.shape[0]
+            if n_cached >= max_cache or self.debug:
+                break
+
+        cat = {k: np.concatenate(v) for k, v in caches.items() if v}
+        out = {}
+        out.update(cross_transfer_metrics(cat["cross"], cat["orig"]))
+        out.update(mu_consistency_metrics(cat["mu"], cat["mu_re"],
+                                          cat["mu_rel"]))
+        if "z" in cat:
+            out["flow_ks_p"] = ks_test_flow_gaussianity(cat["z"])
+        fake_sets = {k: cat[k] for k in ("prior", "cross", "self", "flow")
+                     if k in cat}
+        n_iters = 50 if self.debug else 500
+        out.update(train_posthoc_classifiers(
+            ks(), cat["orig"], fake_sets, mu=cat["mu"],
+            start_pose=cat["start"], n_iters=n_iters))
+
+        # CF scores need the action classifier trained alongside the cVAE
+        cls_action = self._build_models(meta["n_kps"], meta["n_actions"],
+                                        seq_len)[2]
+
+        def cls_apply(x):
+            return cls_action.apply({"params": state.cls_action.params}, x)
+
+        out.update(action_transfer_scores(cls_apply, cat["cross"],
+                                          cat["orig"], cat["labels"]))
+        return out

@@ -90,3 +90,27 @@ def sequence_sample_metrics(samples, gt):
         "ADE": average_displacement_error(samples, gt),
         "FDE": final_displacement_error(samples, gt),
     }
+
+
+def mse_euler_per_action(pred_expmap, gt_expmap, actions):
+    """Expmap -> euler MSE per action label (reference lib/metrics.py:
+    321-357 `mse_euler`): convert each joint's expmap to euler angles and
+    average squared error per action subset.
+
+    pred/gt: (N, T, 99) expmap channels; actions: (N,) int labels.
+    Returns {action_id: mse}.
+    """
+    import numpy as np
+    from ..geometry.rotations import expmap_to_rotmat, rotmat_to_euler
+
+    def to_euler(flat):
+        exps = flat[..., 3:99].reshape(flat.shape[:-1] + (32, 3))
+        return np.asarray(rotmat_to_euler(expmap_to_rotmat(exps)))
+
+    pe, ge = to_euler(np.asarray(pred_expmap)), to_euler(
+        np.asarray(gt_expmap))
+    out = {}
+    for a in np.unique(np.asarray(actions)):
+        sel = np.asarray(actions) == a
+        out[int(a)] = float(np.mean((pe[sel] - ge[sel]) ** 2))
+    return out

@@ -134,3 +134,24 @@ def weight_decay_loss(params) -> jnp.ndarray:
     """Sum of squared L2 norms over a param pytree."""
     leaves = jax.tree_util.tree_leaves(params)
     return sum(jnp.sum(w * w) for w in leaves)
+
+
+def mi_loss_terms(disc_apply, disc_params, joint, marginal):
+    """Mutual-information (MINE/DV-style) discriminator terms
+    (reference MILoss, lib/losses.py:196-280): maximize
+    E_joint[T] - log E_marginal[e^T].  Returns (mi_lower_bound,
+    disc_loss)."""
+    t_joint = disc_apply(disc_params, joint)
+    t_marg = disc_apply(disc_params, marginal)
+    mi = jnp.mean(t_joint) - jnp.log(jnp.mean(jnp.exp(t_marg)) + 1e-8)
+    return mi, -mi
+
+
+def zoom_loss(feats_fn, target, pred, kps, out_size: int,
+              loss_weights):
+    """Perceptual loss on keypoint-centered crops of the prediction
+    (reference zoom_loss, lib/losses.py:122-126)."""
+    from ..utils.boxes import bounding_box_batch
+
+    pred_crop = bounding_box_batch(kps, pred, out_size)
+    return vgg_loss(feats_fn(target), feats_fn(pred_crop), loss_weights)
