@@ -187,14 +187,50 @@ class ShapePoseExperiment(Experiment):
                                      self.config)
 
     def _eval_ssim(self, vunet, state, step, ks, max_batches: int = 4):
+        """SSIM on reconstructions; optionally Inception Score on recon +
+        transfer sets (reference shape_and_pose_net.py:666-773).  IS needs
+        converted inception weights (metrics.inception_weights_path) to be
+        literature-comparable."""
         loader, _ = self._build_data("test")
         vals = []
+        compute_is = bool(self.config.get("metrics", {}).get(
+            "compute_is", False))
+        recon_logits, transfer_logits = [], []
+
+        if compute_is:
+            from ..models.inception import InceptionV3Features
+
+            incep = InceptionV3Features(with_logits=True)
+            iw = self.config.get("metrics", {}).get(
+                "inception_weights_path")
+            if iw:
+                import pickle
+
+                with open(str(iw), "rb") as f:
+                    incep_vars = pickle.load(f)
+            else:
+                incep_vars = incep.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 128, 128, 3)))
+
+            @jax.jit
+            def inception_logits(img):
+                n, h, w, _ = img.shape
+                img = jax.image.resize(img, (n, 128, 128, 3), "bilinear")
+                _, logits = incep.apply(incep_vars, img)
+                return logits
 
         @jax.jit
         def recon(params, app, stick, key):
             return vunet.apply({"params": params}, app, stick,
                                rngs={"sample": key},
                                method=vunet.transfer)
+
+        @jax.jit
+        def prior_sample(params, stick, key):
+            return vunet.apply({"params": params}, stick,
+                               rngs={"sample": key},
+                               method=vunet.test_forward)
 
         for i, batch in enumerate(loader):
             out = recon(state.vunet.params, jnp.asarray(batch["app_img"]),
@@ -203,10 +239,25 @@ class ShapePoseExperiment(Experiment):
             v = ssim_fn((out.astype(jnp.float32) + 1) / 2,
                         (target + 1) / 2)
             vals.append(np.asarray(v))
+            if compute_is:
+                recon_logits.append(np.asarray(
+                    inception_logits(out.astype(jnp.float32))))
+                tr = prior_sample(state.vunet.params,
+                                  jnp.asarray(batch["stickman"]), ks())
+                transfer_logits.append(np.asarray(
+                    inception_logits(tr.astype(jnp.float32))))
             if i + 1 >= max_batches:
                 break
         val = float(np.mean(np.concatenate(vals)))
-        self.logger.log({"ssim": val}, step, prefix="eval/")
+        metrics = {"ssim": val}
+        if compute_is and recon_logits:
+            from ..metrics import inception_score_from_logits
+
+            metrics["is_recon"] = inception_score_from_logits(
+                np.concatenate(recon_logits))[0]
+            metrics["is_transfer"] = inception_score_from_logits(
+                np.concatenate(transfer_logits))[0]
+        self.logger.log(metrics, step, prefix="eval/")
         return val
 
     def run_inference(self):

@@ -137,16 +137,20 @@ class Shuffle(nn.Module):
 
 
 class CouplingFlowBlock(nn.Module):
-    """ActNorm -> DoubleCoupling -> Shuffle (one flow step)."""
+    """ActNorm -> coupling -> Shuffle (one flow step).
+
+    coupling_type: "affine" (default), "gin" or "nice" — the latter two are
+    the reference's volume-preserving dormant variants."""
 
     in_channels: int
     hidden_dim: int
     hidden_depth: int = 2
+    coupling_type: str = "affine"
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.norm_layer = ActNorm(dtype=self.dtype)
-        self.coupling = DoubleCoupling(
+        self.coupling = COUPLING_TYPES[self.coupling_type](
             self.in_channels, self.hidden_dim, self.hidden_depth,
             dtype=self.dtype,
         )
@@ -174,12 +178,15 @@ class UnconditionalFlow(nn.Module):
     hidden_dim: int
     hidden_depth: int = 2
     n_flows: int = 15
+    coupling_type: str = "affine"
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.sub_layers = [
             CouplingFlowBlock(self.in_channels, self.hidden_dim,
-                              self.hidden_depth, dtype=self.dtype)
+                              self.hidden_depth,
+                              coupling_type=self.coupling_type,
+                              dtype=self.dtype)
             for _ in range(self.n_flows)
         ]
 
@@ -196,3 +203,94 @@ class UnconditionalFlow(nn.Module):
 
     def reverse(self, z):
         return self(z, reverse=True)
+
+
+class GINCoupling(DoubleCoupling):
+    """Volume-preserving coupling (GIN): the last scale channel is set to
+    minus the sum of the others so logdet == 0 per coupling
+    (reference GINDoubleVectorCouplingBlock, models/flow/blocks.py:322-360).
+    Requires even C."""
+
+    def setup(self):
+        c = self.in_channels
+        assert c % 2 == 0, "GIN coupling requires even channels"
+        dim1 = c // 2
+        self._dim1, self._dim2 = dim1, dim1
+        self.s = [
+            FullyConnectedNet(dim=dim1, out_dim=dim1 - 1,
+                              depth=self.hidden_depth,
+                              hidden_dim=self.hidden_dim, use_tanh=True,
+                              dtype=self.dtype)
+            for _ in range(2)
+        ]
+        self.t = [
+            FullyConnectedNet(dim=dim1, out_dim=dim1,
+                              depth=self.hidden_depth,
+                              hidden_dim=self.hidden_dim, use_tanh=False,
+                              dtype=self.dtype)
+            for _ in range(2)
+        ]
+
+    def _scale(self, i, xa):
+        s = self.s[i](xa)
+        last = -jnp.sum(s, axis=-1, keepdims=True)
+        return jnp.concatenate([s, last], axis=-1)
+
+    def __call__(self, x, reverse: bool = False):
+        d1 = self._dim1
+        if not reverse:
+            for i in range(2):
+                if i % 2 != 0:
+                    x = self._swap(x)
+                xa, xb = x[:, :d1], x[:, d1:]
+                xb = xb * jnp.exp(self._scale(i, xa)) + self.t[i](xa)
+                x = jnp.concatenate([xa, xb], axis=1)
+            return x, jnp.zeros((x.shape[0],), x.dtype)
+        for i in reversed(range(2)):
+            if i % 2 == 0:
+                x = self._unswap(x)
+            xa, xb = x[:, :d1], x[:, d1:]
+            xb = (xb - self.t[i](xa)) * jnp.exp(-self._scale(i, xa))
+            x = jnp.concatenate([xa, xb], axis=1)
+        return x
+
+
+class NICECoupling(DoubleCoupling):
+    """Additive (volume-preserving) coupling — NICE
+    (reference blocks.py:363-449)."""
+
+    def setup(self):
+        c = self.in_channels
+        dim1 = (c // 2) + (c % 2)
+        dim2 = c // 2
+        self._dim1, self._dim2 = dim1, dim2
+        self.t = [
+            FullyConnectedNet(dim=dim1, out_dim=dim2,
+                              depth=self.hidden_depth,
+                              hidden_dim=self.hidden_dim, use_tanh=False,
+                              dtype=self.dtype)
+            for _ in range(2)
+        ]
+
+    def __call__(self, x, reverse: bool = False):
+        d1 = self._dim1
+        if not reverse:
+            for i in range(2):
+                if i % 2 != 0:
+                    x = self._swap(x)
+                xa, xb = x[:, :d1], x[:, d1:]
+                x = jnp.concatenate([xa, xb + self.t[i](xa)], axis=1)
+            return x, jnp.zeros((x.shape[0],), x.dtype)
+        for i in reversed(range(2)):
+            if i % 2 == 0:
+                x = self._unswap(x)
+            xa, xb = x[:, :d1], x[:, d1:]
+            x = jnp.concatenate([xa, xb - self.t[i](xa)], axis=1)
+        return x
+
+
+COUPLING_TYPES = {
+    "affine": DoubleCoupling,
+    "gin": GINCoupling,
+    "nice": NICECoupling,
+}

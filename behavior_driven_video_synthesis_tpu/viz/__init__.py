@@ -3,6 +3,7 @@ from .videos import (
     frames_to_uint8,
     make_img_grid,
     make_enrollment_strip,
+    make_eval_grid,
     create_video_3d,
 )
 from .latent import slerp, latent_interpolate

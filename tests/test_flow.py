@@ -129,3 +129,20 @@ class TestFullFlow:
         rev = jax.jit(lambda v, a: flow.apply(v, a, reverse=True))
         z, _ = fwd(variables, x)
         np.testing.assert_allclose(rev(variables, z), x, atol=2e-3)
+
+
+@pytest.mark.parametrize("ctype", ["gin", "nice"])
+class TestVolumePreservingVariants:
+    def test_invertible_and_volume_preserving(self, rng, ctype):
+        C = 8
+        x = jnp.asarray(rng.randn(8, C).astype(np.float32))
+        flow = UnconditionalFlow(in_channels=C, hidden_dim=32, n_flows=3,
+                                 coupling_type=ctype)
+        variables = flow.init({"params": jax.random.PRNGKey(0)}, x)
+        z, logdet = flow.apply(variables, x)
+        back = flow.apply(variables, z, reverse=True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol=2e-3)
+        # couplings are volume preserving: only ActNorm contributes logdet,
+        # which is constant across the batch
+        assert np.allclose(np.asarray(logdet), np.asarray(logdet)[0])

@@ -107,3 +107,34 @@ class TestGAN:
         grads = jax.grad(loss_fn)(params)
         leaves = jax.tree_util.tree_leaves(grads)
         assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+class TestVisualizeTransfer:
+    def test_generates_videos(self, tmp_path, rng):
+        from behavior_driven_video_synthesis_tpu.experiments.visualize import (
+            visualize_transfer3d,
+        )
+        from behavior_driven_video_synthesis_tpu.models import (
+            ResidualBehaviorNet,
+        )
+        K, H, T = 51, 32, 5
+        model = ResidualBehaviorNet(n_kps=K, dim_hidden_b=H)
+        x = jnp.asarray(rng.randn(2, T, K).astype(np.float32))
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "sample": jax.random.PRNGKey(1)}, x, x, T)
+        batch = {"keypoints": rng.randn(2, T + 1, K).astype(np.float32)}
+        paths = visualize_transfer3d(
+            model, variables["params"], batch, str(tmp_path),
+            jax.random.PRNGKey(2), seq_len=T, n_vids=1, n_samples=2, fps=4)
+        assert len(paths) == 2
+        for p in paths.values():
+            assert os.path.exists(p) and os.path.getsize(p) > 0
+
+    def test_figures_nearest_neighbours(self, rng):
+        from behavior_driven_video_synthesis_tpu.viz.figures import (
+            nearest_neighbours,
+        )
+        db = rng.randn(50, 8).astype(np.float32)
+        idx, dist = nearest_neighbours(db[:3], db, k=4)
+        # each query's nearest neighbour is itself
+        np.testing.assert_array_equal(idx[:, 0], np.arange(3))
