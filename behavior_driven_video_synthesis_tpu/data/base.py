@@ -85,6 +85,7 @@ class BaseDataset:
                 np.asarray(ids)].astype(np.int64),
             "img_size": lambda ids: np.asarray(
                 [self.spatial_size, self.spatial_size]),
+            "synth_weights": self._get_synth_weights,
         }
         self.reg_steps = int(kwargs.get("reg_steps", 5))
 
@@ -263,6 +264,24 @@ class BaseDataset:
 
     def stickman_scale_factor(self):
         return None
+
+    def _get_synth_weights(self, ids, weight: float = 10.0):
+        """Per-pixel loss-weight maps: ``weight`` inside the keypoint hull
+        region, 1 elsewhere (reference _get_synth_weights,
+        base_dataset.py:655-683)."""
+        out = []
+        S = self.spatial_size
+        for i in np.asarray(ids):
+            kps = self._get_kps_for_rendering(int(i))
+            valid = kps[np.all(kps >= 0, axis=1)]
+            wmap = np.ones((S, S, 1), np.float32)
+            if len(valid) >= 3 and cv2 is not None:
+                hull = cv2.convexHull(valid.astype(np.int32))
+                mask = np.zeros((S, S), np.uint8)
+                cv2.fillConvexPoly(mask, hull, 1)
+                wmap[mask > 0] = weight
+            out.append(wmap)
+        return self._squeeze_seq(np.stack(out))
 
     def _load_image(self, idx: int) -> np.ndarray:
         """uint8 HWC BGR image for sample idx (file-backed default)."""

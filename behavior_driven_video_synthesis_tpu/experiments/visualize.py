@@ -113,3 +113,43 @@ def render_rgb_videos(pipeline, params, z, x_start, app_img, extrinsics,
         write_video(grid, p, fps=fps)
         paths[f"{tag}{i}"] = p
     return paths
+
+
+def get_synth_input(dataset, idx: int, spatial_size: int):
+    """Sample appearance image + camera for RGB rendering from a dataset's
+    complete datadict (reference get_synth_input[_fix],
+    lib/logging.py:1439-1545): returns (app_img [-1,1], extrinsics,
+    intrinsics, image_size) for one sample."""
+    dd = (dataset.complete_datadict
+          if dataset.complete_datadict is not None else dataset.datadict)
+    app = dataset._to_float(dataset._prep_image(int(idx)))
+    extr = np.asarray(dd["extrinsics_univ"][idx], np.float32)
+    intr = np.asarray(dd["intrinsics_univ"][idx], np.float32)
+    imsize = np.asarray(dd["image_size"][idx], np.float32)
+    return app, extr, intr, imsize
+
+
+def load_synth_params(run_dir: str):
+    """Load a pretrained synthesis (cvbae/vunet) run's VUNet params + config
+    for cross-model video rendering (reference behavior_net.py:84-99 loads
+    --synth_model's checkpoint + config.yaml)."""
+    import orbax.checkpoint as ocp
+
+    from ..core.config import load_config
+
+    cfg_path = os.path.join(run_dir, "config", "config.yaml")
+    config = load_config(cfg_path) if os.path.exists(cfg_path) else None
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    # run dirs are <base>/<experiment>/{ckpt,config,...}/<project>; accept
+    # either the project dir or a direct ckpt dir
+    candidates = [os.path.join(ckpt_dir, "reg_ckpt"),
+                  os.path.join(run_dir, "reg_ckpt"), run_dir]
+    for cand in candidates:
+        if os.path.isdir(cand):
+            mgr = ocp.CheckpointManager(os.path.abspath(cand))
+            step = mgr.latest_step()
+            if step is not None:
+                state = mgr.restore(step)  # raw pytree (no template)
+                vunet_params = state["vunet"]["params"]
+                return vunet_params, config
+    raise FileNotFoundError(f"no synthesis checkpoint under {run_dir}")

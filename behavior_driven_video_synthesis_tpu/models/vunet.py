@@ -349,6 +349,17 @@ class VUNet(nn.Module):
         _, means, logstds, _ = self.ed(hs)
         return means, logstds
 
+    def transfer_cached(self, means, c):
+        """Appearance transfer from PRE-COMPUTED posterior means: runs only
+        the shape encoder + generator (du + dd).  Video synthesis with a
+        fixed appearance encodes the appearance ONCE per video instead of
+        once per frame — eu+ed drop out of the per-frame cost entirely
+        (a TPU-serving optimization absent from the reference, which
+        re-encodes per frame; data_conversions_3d.py:1161-1173)."""
+        gs = self.du(c)
+        imgs, _, _, _ = self.dd(gs, list(means), training=True)
+        return imgs
+
 
 class VunetRegressor(nn.Module):
     """Latent->2D-pose probe (reference vunets.py:786-825): conv embedders

@@ -105,10 +105,15 @@ class BehaviorTransferPipeline:
         stick = stick / 127.5 - 1.0
 
         flat_stick = stick.reshape((B * length,) + stick.shape[2:])
-        flat_app = jnp.repeat(app_img, length, axis=0)
+        # appearance is fixed per video: encode ONCE (B), tile the posterior
+        # means over T, and run only the shape encoder + generator per frame
+        means, _ = self.vunet.apply(
+            {"params": params["vunet"]}, app_img, rngs={"sample": key},
+            method=self.vunet.encode_means)
+        means_tiled = [jnp.repeat(m, length, axis=0) for m in means]
         frames = self.vunet.apply(
-            {"params": params["vunet"]}, flat_app, flat_stick,
-            rngs={"sample": key}, method=self.vunet.transfer)
+            {"params": params["vunet"]}, means_tiled, flat_stick,
+            method=self.vunet.transfer_cached)
         frames = frames.reshape((B, length) + frames.shape[1:])
         return {"frames": frames, "stickman": stick, "poses_3d": world,
                 "keypoints_2d": px}

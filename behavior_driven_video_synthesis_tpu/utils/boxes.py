@@ -107,3 +107,11 @@ def bounding_box_batch(kps, imgs, out_size: int, relax: float = 0.1):
                 + v10 * (1 - fx) * fy + v11 * fx * fy)
 
     return jax.vmap(sample_one)(imgs, gx, gy)
+
+
+def part_crops_batch(kps, imgs, part_indices, out_size: int,
+                     relax: float = 0.3):
+    """Crops around a keypoint subset (head/hands) for part-focused losses —
+    the kornia `get_img_crop` equivalent (reference lib/utils.py:235-322)."""
+    sub = jnp.asarray(np.asarray(part_indices))
+    return bounding_box_batch(kps[:, sub], imgs, out_size, relax=relax)
