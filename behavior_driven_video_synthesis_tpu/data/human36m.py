@@ -214,6 +214,8 @@ class Human36mDataset(BaseDataset):
         self.datadict["f_ids"] = self.datadict["f_ids"] - 1
         self.complete_datadict = deepcopy(self.datadict)
         self.process_arrays()
+        if self.keypoint_key not in (None, "norm_keypoints"):
+            self.matched_map_ids = np.arange(len(self))
 
     def populate_from_arrays(self, columns: Dict[str, np.ndarray],
                              keep_complete: bool = True):
@@ -223,6 +225,10 @@ class Human36mDataset(BaseDataset):
         if keep_complete:
             self.complete_datadict = deepcopy(self.datadict)
         self.process_arrays()
+        # 3D keypoint runs use matched (same-action) map ids for the
+        # matched_keypoints fetcher (ref human36m.py:268-274)
+        if self.keypoint_key not in (None, "norm_keypoints"):
+            self.matched_map_ids = np.arange(len(self))
         self._finalize()
 
     def _debug_subset(self):

@@ -186,3 +186,22 @@ class TestStickman:
         d_mask = dev.sum(-1) > 0
         iou = (h_mask & d_mask).sum() / max((h_mask | d_mask).sum(), 1)
         assert iou > 0.55, f"device/host stickman IoU too low: {iou:.3f}"
+
+
+def test_matched_map_ids_same_action(h36m):
+    """matched_keypoints pairs must come from the SAME action (the
+    label-transfer pairs come from different actions)."""
+    rng = np.random.RandomState(9)
+    ds = Human36mDataset(
+        transforms=None,
+        data_keys=["keypoints", "matched_keypoints", "action"],
+        seq_length=(5, 6), mode="train",
+        keypoint_type="keypoints_3d_world", label_transfer=True,
+        spatial_size=SPATIAL, data_seed=0,
+    )
+    ds.populate_from_arrays(synth_h36m_columns(rng))
+    assert ds.matched_map_ids is not None
+    acts = ds.datadict["action"]
+    assert np.all(acts[ds.matched_map_ids] == acts)
+    item = ds[[0, 5]]
+    assert item["matched_keypoints"].shape == item["keypoints"].shape
