@@ -1,6 +1,11 @@
-"""Benchmark: VUNet 256px appearance-transfer synthesis throughput.
+"""Benchmark: the end-to-end behavior-transfer video program at 256px.
 
-Runs on the real TPU chip.  Prints ONE JSON line:
+Default (BENCH_MODE=pipeline): the full compiled pipeline — flow inverse ->
+50-step decoder rollout -> unnormalize -> camera projection -> on-device
+stickman raster -> VUNet synthesis — frames/sec/chip on the real TPU.
+BENCH_MODE=vunet measures bare VUNet transfer throughput.
+
+Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
 vs_baseline is measured against the BASELINE.json north-star target of
@@ -77,7 +82,7 @@ def bench_pipeline():
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     @jax.jit
-    def loop(k0):
+    def loop(params, z, x_start, app, extr, intr, imsize, k0):
         def body(i, carry):
             acc, k = carry
             frames = pipe.generate(params, z, x_start, app, extr, intr,
@@ -87,11 +92,12 @@ def bench_pipeline():
         acc, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.zeros(()), k0))
         return acc
 
-    float(loop(key))  # compile + warm
+    args = (params, z, x_start, app, extr, intr, imsize)
+    float(loop(*args, key))  # compile + warm
     times = []
     for r in range(3):
         t0 = time.perf_counter()
-        float(loop(jax.random.fold_in(key, r)))
+        float(loop(*args, jax.random.fold_in(key, r)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fps = B * T * n_iters / dt
@@ -104,7 +110,7 @@ def bench_pipeline():
 
 
 def main():
-    if os.environ.get("BENCH_MODE", "vunet") == "pipeline":
+    if os.environ.get("BENCH_MODE", "pipeline") == "pipeline":
         return bench_pipeline()
     import jax
     import jax.numpy as jnp
