@@ -1,0 +1,67 @@
+"""utils/ tests: bounding boxes, batched crops, sampling distributions."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from behavior_driven_video_synthesis_tpu.utils import (
+    get_bounding_box,
+    crop_with_bbox,
+    bounding_box_batch,
+    get_area_sampling_dist,
+    get_pid_sampling_dist,
+    parallel_data_prefetch,
+    prepare_input,
+    scale_img,
+)
+
+
+class TestBoxes:
+    def test_square_and_padded(self, rng):
+        pts = np.array([[10, 20], [50, 25], [30, 60]], np.float32)
+        out = get_bounding_box(pts, (64, 64))
+        x_tl, x_br, y_tl, y_br = out["bbox"]
+        assert (x_br - x_tl) == (y_br - y_tl)  # square
+
+    def test_crop_shape(self, rng):
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        kps = np.array([[10, 12], [40, 50], [25, 30]], np.float32)
+        crop = crop_with_bbox(img, kps)
+        assert crop.shape[0] == crop.shape[1]
+
+    def test_batched_crop_resize(self, rng):
+        imgs = jnp.asarray(rng.rand(3, 32, 32, 3).astype(np.float32))
+        kps = jnp.asarray(rng.rand(3, 5, 2).astype(np.float32) * 20 + 5)
+        out = bounding_box_batch(kps, imgs, 16)
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSampling:
+    def test_area_dist_prefers_small_hulls(self, rng):
+        big = rng.rand(10, 2) * 100
+        small = rng.rand(10, 2) * 5
+        w = get_area_sampling_dist(np.stack([big, small]))
+        assert w[1] > w[0]
+
+    def test_pid_dist_inverse_frequency(self):
+        p_ids = np.array([0, 0, 0, 1])
+        w = get_pid_sampling_dist(p_ids)
+        assert w[3] > w[0]
+        np.testing.assert_allclose(w.sum(), 1.0)
+
+    def test_parallel_prefetch_order(self):
+        out = parallel_data_prefetch(lambda x: x * 2, list(range(20)),
+                                     n_proc=4)
+        assert out == [2 * i for i in range(20)]
+
+
+class TestMisc:
+    def test_prepare_input(self, rng):
+        x = np.arange(24).reshape(2, 4, 3)
+        a, b = prepare_input(x)
+        np.testing.assert_array_equal(a, x[:, :-1])
+        np.testing.assert_array_equal(b, x[:, 1:])
+
+    def test_scale_img(self):
+        out = np.asarray(scale_img(jnp.asarray([-2.0, -1.0, 0.0, 1.0, 2.0])))
+        np.testing.assert_allclose(out, [0, 0, 0.5, 1, 1])
