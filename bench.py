@@ -109,9 +109,136 @@ def bench_pipeline():
     }))
 
 
+def bench_cvbae_train():
+    """cvbae training-step throughput at the reference's production config
+    (256px, nf 32..128, batch 12, perceptual + KL + gamma controller)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from behavior_driven_video_synthesis_tpu.core import Config
+    from behavior_driven_video_synthesis_tpu.models.perceptual import (
+        PerceptualVGG19,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+        create_vunet_state,
+        make_cvbae_train_step,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "12"))
+    S = int(os.environ.get("BENCH_SPATIAL", "256"))
+    config = Config({
+        "architecture": {"cvae": False},
+        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                     "train_regressor": False, "gamma_step": 1e-5,
+                     "information_max": 1000.0, "n_init_batches": 4},
+    })
+    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
+                  dropout_prob=0.05, dtype=jnp.bfloat16)
+    vgg = PerceptualVGG19(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "pose_img": jax.random.normal(key, (B, S, S, 3)) * 0.5,
+        "stickman": jax.random.normal(jax.random.fold_in(key, 1),
+                                      (B, S, S, 3)) * 0.5,
+    }
+    batch["app_img"] = batch["pose_img"]
+    vgg_vars = vgg.init(key, batch["pose_img"])
+    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9)}
+    state = create_vunet_state(key, vunet, None, vgg, txs, batch)
+    step = make_cvbae_train_step(vunet, None, vgg, vgg_vars, txs, config)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    @jax.jit
+    def loop(state, batch, k0):
+        def body(i, carry):
+            st, k = carry
+            st, _ = step(st, batch, k)
+            return st, jax.random.fold_in(k, i)
+        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
+        return st
+
+    st = loop(state, batch, key)
+    float(jnp.sum(st.gamma))  # force
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        st = loop(state, batch, jax.random.fold_in(key, r))
+        float(jnp.sum(st.gamma))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    ips = B * n_iters / dt
+    print(json.dumps({
+        "metric": f"cvbae_{S}px_train_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / NORTH_STAR_FPS, 4),
+    }))
+
+
+def bench_behavior():
+    """Behavior-latent production rate: flow sample -> 50-step rollout."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from behavior_driven_video_synthesis_tpu.models import (
+        ResidualBehaviorNet,
+    )
+    from behavior_driven_video_synthesis_tpu.models.flows import LatentFlow
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    T, HID, K = 50, 1024, 48
+    model = ResidualBehaviorNet(n_kps=K, dim_hidden_b=HID,
+                                dtype=jnp.bfloat16)
+    flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
+                      n_flows=15)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((B, T, K))
+    bp = model.init({"params": key, "sample": key}, x, x, T)["params"]
+    fv = flow.init({"params": key}, jnp.zeros((B, HID)))
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    @jax.jit
+    def loop(bp, fv, x0, k0):
+        def body(i, carry):
+            acc, k = carry
+            z = jax.random.normal(k, (B, HID))
+            b = flow.apply(fv, z, method=flow.reverse)
+            xs, _ = model.apply({"params": bp}, b, x0[:, None], T,
+                                method=model.generate_seq)
+            return acc + jnp.sum(xs.astype(jnp.float32)), \
+                jax.random.fold_in(k, i)
+        acc, _ = jax.lax.fori_loop(0, n_iters, body,
+                                   (jnp.zeros(()), k0))
+        return acc
+
+    x0 = jnp.zeros((B, K))
+    float(loop(bp, fv, x0, key))
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(loop(bp, fv, x0, jax.random.fold_in(key, r)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    lps = B * n_iters / dt
+    print(json.dumps({
+        "metric": "behavior_flow_sample_rollout_rate",
+        "value": round(lps, 2),
+        "unit": "sequences/sec/chip",
+        "vs_baseline": round(lps * T / NORTH_STAR_FPS, 4),
+    }))
+
+
 def main():
-    if os.environ.get("BENCH_MODE", "pipeline") == "pipeline":
+    mode = os.environ.get("BENCH_MODE", "pipeline")
+    if mode == "pipeline":
         return bench_pipeline()
+    if mode == "train":
+        return bench_cvbae_train()
+    if mode == "behavior":
+        return bench_behavior()
     import jax
     import jax.numpy as jnp
     from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
