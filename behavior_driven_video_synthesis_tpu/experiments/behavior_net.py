@@ -119,6 +119,8 @@ class BehaviorNetExperiment(Experiment):
             txs, sample_batch, seq_len,
             gamma_init=float(cfg.training.get("gamma_init", 0.0)))
         state, start_step, mgr = self.maybe_restore("reg_ckpt", state)
+        if self.only_flow and start_step == 0:
+            state = self._fallback_ckpt(state)
         state = self.place(state)
 
         step_fn = jax.jit(
@@ -170,6 +172,32 @@ class BehaviorNetExperiment(Experiment):
         return state, fstate
 
     # -- helpers ------------------------------------------------------------
+    def _fallback_ckpt(self, template):
+        """Flow-only training with no local cVAE checkpoint: search sibling
+        run dirs under the same experiment for one (the reference matches by
+        '@b{dim_hidden_b}' filename, behavior_net.py:117-131; we try every
+        sibling reg_ckpt whose state restores into our template)."""
+        import os
+
+        from ..core.checkpoint import CheckpointManager
+
+        ckpt_root = os.path.dirname(self.dirs["ckpt"])
+        if not os.path.isdir(ckpt_root):
+            return template
+        for proj in sorted(os.listdir(ckpt_root)):
+            cand = os.path.join(ckpt_root, proj, "reg_ckpt")
+            if not os.path.isdir(cand):
+                continue
+            try:
+                out = CheckpointManager(cand).restore_latest(template)
+            except Exception:
+                continue
+            if out is not None:
+                print(f"flow-only: using fallback cVAE checkpoint from "
+                      f"{cand}")
+                return out[0]
+        return template
+
     def _prep_batch(self, batch, meta) -> Dict[str, jnp.ndarray]:
         out = {
             "keypoints": np.asarray(batch["keypoints"], np.float32),

@@ -7,6 +7,7 @@ checkpoints.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -176,7 +177,20 @@ class ShapePoseExperiment(Experiment):
                 if it % ckpt_steps == 0 or it == end_iteration:
                     mgr.save(it, jax.device_get(state), force=True)
                 if it % metric_steps == 0:
-                    self._eval_ssim(vunet, state, it, ks)
+                    ssim_val = self._eval_ssim(vunet, state, it, ks)
+                    # metric-stamped checkpoint record (the reference writes
+                    # model@e{E}@ssim=... copies; orbax steps are ints, so we
+                    # keep a sidecar map step -> metrics)
+                    import json as _json
+                    sidecar = os.path.join(self.dirs["ckpt"],
+                                           "metric_ckpts.json")
+                    try:
+                        records = _json.load(open(sidecar))
+                    except Exception:
+                        records = {}
+                    records[str(it)] = {"ssim": ssim_val}
+                    os.makedirs(self.dirs["ckpt"], exist_ok=True)
+                    _json.dump(records, open(sidecar, "w"), indent=1)
                 if it >= end_iteration:
                     break
         mgr.save(it, jax.device_get(state), force=True)
