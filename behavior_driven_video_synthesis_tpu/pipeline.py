@@ -36,13 +36,23 @@ class BehaviorTransferPipeline:
                  dim_to_use: np.ndarray,
                  spatial_size: int = 256,
                  stickman_thickness: float = 5.0,
-                 flow_model=None):
+                 flow_model=None,
+                 use_pallas_rollout: bool = True):
         self.behavior_model = behavior_model
         self.vunet = vunet
         self.flow_model = flow_model
         self.joint_model = joint_model
         self.spatial_size = spatial_size
         self.thickness = stickman_thickness
+        # the Pallas VMEM-resident rollout kernel removes the per-step HBM
+        # weight streaming of the serial decoder (the pipeline's largest
+        # latency component at small batch); LSTM-without-nin decoders only
+        self.use_pallas_rollout = (
+            use_pallas_rollout
+            and getattr(behavior_model, "decoder_arch", "lstm") == "lstm"
+            and not getattr(behavior_model, "use_nin_dec", False)
+            and jax.default_backend() == "tpu"
+        )
         self.norm_mean = jnp.asarray(norm_mean)
         self.norm_std = jnp.asarray(norm_std)
         self.dim_to_use = jnp.asarray(np.asarray(dim_to_use))
@@ -92,9 +102,16 @@ class BehaviorTransferPipeline:
         else:
             b = z
 
-        xs, _ = self.behavior_model.apply(
-            {"params": params["behavior"]}, b, x_start[:, None], length,
-            method=self.behavior_model.generate_seq)          # (B, T, Kn)
+        if self.use_pallas_rollout:
+            from .models.behavior import decoder_rollout_kernel
+
+            xs = decoder_rollout_kernel(
+                params["behavior"]["decoder"], b.astype(jnp.float32),
+                x_start.astype(jnp.float32), length)          # (B, T, Kn)
+        else:
+            xs, _ = self.behavior_model.apply(
+                {"params": params["behavior"]}, b, x_start[:, None], length,
+                method=self.behavior_model.generate_seq)      # (B, T, Kn)
 
         world = self._unnormalize(xs)
         world = world.reshape(B, length, -1, 3)               # (B, T, K, 3)
