@@ -1,0 +1,66 @@
+"""Checkpoint manager round-trip and restart semantics."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from behavior_driven_video_synthesis_tpu.core.checkpoint import (
+    CheckpointManager,
+)
+from behavior_driven_video_synthesis_tpu.train.state import ModuleState
+
+
+def _make_state(seed):
+    key = jax.random.PRNGKey(seed)
+    params = {"w": jax.random.normal(key, (4, 4)),
+              "b": jnp.zeros(4)}
+    tx = optax.adam(1e-3)
+    return ModuleState.create({"params": params}, tx), tx
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state, tx = _make_state(0)
+        mgr = CheckpointManager(str(tmp_path / "role"))
+        assert mgr.latest_step() is None
+        assert mgr.save(10, state)
+        out = mgr.restore_latest(state)
+        assert out is not None
+        restored, step = out
+        assert step == 10
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.asarray(state.params["w"]))
+
+    def test_latest_wins_and_idempotent(self, tmp_path):
+        s1, tx = _make_state(1)
+        s2, _ = _make_state(2)
+        mgr = CheckpointManager(str(tmp_path / "role"))
+        assert mgr.save(1, s1)
+        assert mgr.save(5, s2)
+        assert not mgr.save(5, s1)  # idempotent: step exists
+        restored, step = mgr.restore_latest(s1)
+        assert step == 5
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.asarray(s2.params["w"]))
+
+    def test_max_to_keep(self, tmp_path):
+        s, tx = _make_state(3)
+        mgr = CheckpointManager(str(tmp_path / "role"), max_to_keep=2)
+        for step in [1, 2, 3, 4]:
+            mgr.save(step, s)
+        steps = mgr._mgr.all_steps()
+        assert len(steps) <= 2 and max(steps) == 4
+
+    def test_apply_gradients_enable_switch(self):
+        state, tx = _make_state(4)
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        frozen = state.apply_gradients(tx, grads,
+                                       enabled=jnp.asarray(False))
+        for a, b in zip(jax.tree_util.tree_leaves(frozen.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        moved = state.apply_gradients(tx, grads, enabled=jnp.asarray(True))
+        assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                   for a, b in zip(jax.tree_util.tree_leaves(moved.params),
+                                   jax.tree_util.tree_leaves(state.params)))
