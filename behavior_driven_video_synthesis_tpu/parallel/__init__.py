@@ -5,3 +5,8 @@ from .mesh import (
     data_sharding,
     replicated_sharding,
 )
+from .sharding_rules import (
+    infer_param_shardings,
+    place_with_shardings,
+    shard_module_state,
+)

@@ -163,3 +163,37 @@ class TestFlowStage:
                                    method=flow_model.sample)
         assert samples.shape == (7, HID)
         assert np.isfinite(np.asarray(samples)).all()
+
+
+class TestHybridSharding:
+    def test_dp_x_tp_step_matches_dp(self, setup):
+        """The dp x tp hybrid layout must produce the same loss as pure dp
+        (sharding changes placement, not math)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from behavior_driven_video_synthesis_tpu.parallel import (
+            shard_module_state,
+        )
+        _, model, ds, state, step_fn, _ = setup
+        jit_step = jax.jit(step_fn, static_argnames=("enable_net_update",))
+        batch_np = next(ds.batches(BS))
+
+        mesh_dp = make_mesh(8)
+        s_dp = replicate(state, mesh_dp)
+        b_dp = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()},
+                           mesh_dp)
+        k_dp = replicate(jax.random.PRNGKey(5), mesh_dp)
+        _, m_dp = jit_step(s_dp, b_dp, k_dp)
+
+        mesh_tp = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        s_tp = shard_module_state(state, mesh_tp, min_dim=64)
+        b_tp = {k: jax.device_put(jnp.asarray(v),
+                                  NamedSharding(mesh_tp, P("data")))
+                for k, v in batch_np.items()}
+        k_tp = jax.device_put(jax.random.PRNGKey(5),
+                              NamedSharding(mesh_tp, P()))
+        s_tp2, m_tp = jit_step(s_tp, b_tp, k_tp)
+
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                                   rtol=1e-4)
+        w_hh = s_tp2.net.params["b_enc"]["rnn"]["w_hh"]
+        assert "model" in str(w_hh.sharding.spec)
