@@ -148,15 +148,23 @@ class ShapePoseExperiment(Experiment):
                 b2=float(cfg.training.get("adam_betas", (0.5, 0.9))[1])),
             "regressor": optax.adam(1e-4),
         }
+        disc_model = None
+        if bool(cfg.training.get("use_gan", False)):
+            from ..train.gan import build_discriminator
+
+            disc_model = build_discriminator(cfg)
+            txs["disc"] = optax.adam(
+                float(cfg.training.get("disc_lr", 2e-4)), b1=0.5, b2=0.9)
 
         sample = {k: jnp.asarray(v)
                   for k, v in next(iter(train_loader)).items()}
-        state = create_vunet_state(ks(), vunet, regressor, vgg, txs, sample)
+        state = create_vunet_state(ks(), vunet, regressor, vgg, txs, sample,
+                                   disc_model=disc_model)
         state, start, mgr = self.maybe_restore("reg_ckpt", state)
         state = self.place(state)
 
         step_fn = jax.jit(self._make_step(vunet, regressor, vgg, vgg_vars,
-                                          txs))
+                                          txs, disc_model=disc_model))
 
         end_iteration = int(cfg.training.get("end_iteration", 1000))
         if self.debug:
@@ -174,6 +182,9 @@ class ShapePoseExperiment(Experiment):
                 if it % 50 == 0 or it == end_iteration:
                     self.logger.log(self.avg.averages(), it,
                                     prefix="train/")
+                if it % int(cfg.get("logging", {}).get("log_steps", 300)) \
+                        == 0:
+                    self._log_image_grids(vunet, state, batch, it, ks)
                 if it % ckpt_steps == 0 or it == end_iteration:
                     mgr.save(it, jax.device_get(state), force=True)
                 if it % metric_steps == 0:
@@ -196,9 +207,36 @@ class ShapePoseExperiment(Experiment):
         mgr.save(it, jax.device_get(state), force=True)
         return state
 
-    def _make_step(self, vunet, regressor, vgg, vgg_vars, txs):
+    def _make_step(self, vunet, regressor, vgg, vgg_vars, txs,
+                   disc_model=None):
         return make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
-                                     self.config)
+                                     self.config, disc_model=disc_model)
+
+    def _log_image_grids(self, vunet, state, batch, step, ks,
+                         n: int = 4):
+        """Recon / transfer / prior-sample grids as PNGs under generated/
+        (reference shape_and_pose_net.py:496-660 TensorBoard grids)."""
+        import cv2
+
+        from ..viz import frames_to_uint8, make_img_grid
+
+        app = jnp.asarray(batch["app_img"])[:n]
+        stick = jnp.asarray(batch["stickman"])[:n]
+        target = jnp.asarray(batch["pose_img"])[:n]
+        recon = vunet.apply({"params": state.vunet.params}, app, stick,
+                            rngs={"sample": ks()}, method=vunet.transfer)
+        prior = vunet.apply({"params": state.vunet.params}, stick,
+                            rngs={"sample": ks()},
+                            method=vunet.test_forward)
+        rows = jnp.concatenate(
+            [target[:, :, :, :3], stick, recon.astype(jnp.float32),
+             prior.astype(jnp.float32)], axis=2)
+        grid = make_img_grid(frames_to_uint8(np.asarray(rows)), n_cols=1)
+        out_dir = self.dirs.get("generated", "./generated")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"grid_{step:07d}.png")
+        cv2.imwrite(path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
+        return path
 
     def _eval_ssim(self, vunet, state, step, ks, max_batches: int = 4):
         """SSIM on reconstructions; optionally Inception Score on recon +
@@ -301,7 +339,8 @@ class VunetExperiment(ShapePoseExperiment):
 
     variant = "org"
 
-    def _make_step(self, vunet, regressor, vgg, vgg_vars, txs):
+    def _make_step(self, vunet, regressor, vgg, vgg_vars, txs,
+                   disc_model=None):
         total = int(self.config.training.get("end_iteration", 1000))
         return make_org_vunet_train_step(vunet, vgg, vgg_vars, txs,
                                          self.config, total)

@@ -19,7 +19,7 @@ compute_kl_loss(prior_means, posterior_means), linear LR decay to 0.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,14 +37,16 @@ class VunetTrainState:
     vunet: ModuleState
     regressor: ModuleState
     gamma: jnp.ndarray
+    gan: Any = None  # GANState when the adversarial branch is enabled
 
 
 def create_vunet_state(key, vunet, regressor, vgg, txs, sample_batch,
                        gamma_init: float = 0.0,
-                       n_latent_scales: int = 2) -> VunetTrainState:
+                       n_latent_scales: int = 2,
+                       disc_model=None) -> VunetTrainState:
     x = sample_batch["app_img"]
     c = sample_batch["stickman"]
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     v_vars = vunet.init({"params": k1, "sample": k2, "dropout": k3}, x, c)
     means, _ = vunet.apply(v_vars, x, rngs={"sample": k2},
                            method=vunet.encode_means)
@@ -53,16 +55,23 @@ def create_vunet_state(key, vunet, regressor, vgg, txs, sample_batch,
         reg_state = ModuleState.create(r_vars, txs["regressor"])
     else:
         reg_state = None
+    gan_state = None
+    if disc_model is not None:
+        from .gan import create_gan_state
+
+        gan_state = create_gan_state(k5, disc_model, txs["disc"],
+                                     sample_batch["pose_img"])
     return VunetTrainState(
         step=jnp.zeros((), jnp.int32),
         vunet=ModuleState.create(v_vars, txs["vunet"]),
         regressor=reg_state,
         gamma=jnp.asarray(gamma_init, jnp.float32),
+        gan=gan_state,
     )
 
 
-def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config
-                          ) -> Callable:
+def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
+                          disc_model=None) -> Callable:
     tr = config.training
     ll_weight = float(tr.get("ll_weight", 1.0))
     vgg_weights = list(tr.get("vgg_weights", [1.0] * 6))
@@ -72,6 +81,15 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config
     imax = float(tr.get("information_max", 1000.0))
     n_init_batches = int(tr.get("n_init_batches", 4))
     is_cvae = bool(config.architecture.get("cvae", False))
+    use_gan = disc_model is not None
+    if use_gan:
+        from .gan import make_gan_update
+
+        gan_update, gan_gen_loss = make_gan_update(
+            disc_model, txs["disc"],
+            lambda_gp=float(tr.get("lambda_gp", 10.0)),
+            use_gp=bool(tr.get("grad_pen", False)))
+        gan_weight = float(tr.get("gan_weight", 1.0))
 
     def train_step(state: VunetTrainState, batch, key
                    ) -> Tuple[VunetTrainState, Dict[str, jnp.ndarray]]:
@@ -95,6 +113,10 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config
                 state.step > n_init_batches, tuning * kl, 0.0)
             aux = {"likelihood_loss": likelihood, "kl_loss": kl,
                    "means": means, "out": out}
+            if use_gan:
+                g_loss = gan_gen_loss(state.gan, out.astype(target.dtype))
+                loss = loss + gan_weight * g_loss
+                aux["gen_gan_loss"] = g_loss
             aux.update({f"ll_{k}": v for k, v in ll_dict.items()})
             return loss, aux
 
@@ -131,6 +153,15 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config
         new_gamma = schedules.update_gamma(state.gamma, aux["kl_loss"], imax,
                                            gamma_step)
 
+        new_gan = state.gan
+        gan_metrics = {}
+        if use_gan:
+            new_gan, gan_metrics = gan_update(
+                state.gan, target,
+                jax.lax.stop_gradient(aux["out"]).astype(target.dtype))
+            gan_metrics = dict(gan_metrics)
+            gan_metrics["gen_gan_loss"] = aux["gen_gan_loss"]
+
         metrics = {
             "loss": loss,
             "likelihood_loss": aux["likelihood_loss"],
@@ -140,8 +171,10 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config
         }
         metrics.update({k: v for k, v in aux.items()
                         if k.startswith("ll_")})
+        metrics.update(gan_metrics)
         new_state = state.replace(step=state.step + 1, vunet=new_vunet,
-                                  regressor=new_reg, gamma=new_gamma)
+                                  regressor=new_reg, gamma=new_gamma,
+                                  gan=new_gan)
         return new_state, metrics
 
     return train_step

@@ -138,3 +138,44 @@ class TestCvbaeStep:
         assert losses[-1] < losses[0]
         # kl ramp is 0 before half of total steps
         assert float(metrics["kl_weight"]) == 0.0
+
+
+class TestGanBranch:
+    def test_cvbae_with_patchgan(self, vgg, rng):
+        """use_gan path: disc trains, generator gets the GAN term, losses
+        stay finite and the vunet still improves."""
+        import optax
+        from behavior_driven_video_synthesis_tpu.models.synth_discriminators \
+            import PatchGANDiscriminator
+        vgg_model, vgg_vars = vgg
+        config = Config({
+            "architecture": {"cvae": False},
+            "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                         "train_regressor": False, "gamma_step": 1e-4,
+                         "information_max": 50.0, "n_init_batches": 1,
+                         "gan_weight": 0.1, "grad_pen": True,
+                         "lambda_gp": 1.0, "bf16": False},
+        })
+        vunet = VUNet(spatial_size=S, nf_start=8, nf_max=16,
+                      variant="alter")
+        disc = PatchGANDiscriminator(ndf=8, n_layers=2)
+        txs = {"vunet": optax.adam(2e-3), "disc": optax.adam(2e-3)}
+        batch = _batch(rng, with_reg=False)
+        state = create_vunet_state(jax.random.PRNGKey(0), vunet, None,
+                                   vgg_model, txs, batch, disc_model=disc)
+        assert state.gan is not None
+        step = jax.jit(make_cvbae_train_step(vunet, None, vgg_model,
+                                             vgg_vars, txs, config,
+                                             disc_model=disc))
+        key = jax.random.PRNGKey(1)
+        d0 = jax.tree_util.tree_leaves(state.gan.disc.params)
+        for i in range(4):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["gen_gan_loss"]))
+        assert np.isfinite(float(metrics["dloss"]))
+        assert "gp" in metrics
+        d1 = jax.tree_util.tree_leaves(state.gan.disc.params)
+        assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+                   for a, b in zip(d0, d1))
