@@ -63,6 +63,7 @@ class BaseDataset:
         }
         self.complete_datadict: Optional[Dict[str, np.ndarray]] = None
         self.matched_map_ids: Optional[np.ndarray] = None
+        self.pose_encodings: Optional[np.ndarray] = None
         self.sequence_start_ids: Dict[int, int] = {}
         self.sequence_end_ids: Dict[int, int] = {}
 
@@ -237,12 +238,60 @@ class BaseDataset:
     # -- fetchers ------------------------------------------------------------
     def _get_paired(self, fetch, ids, matched: bool = False):
         ids = np.asarray(ids)
+        if matched and getattr(self, "pose_encodings", None) is not None:
+            return fetch(self._match_subsequence(ids))
         table = (self.matched_map_ids if matched and
                  self.matched_map_ids is not None
                  else self.datadict["map_ids"])
         anchor = int(table[ids[0]])
         new_ids = self._sample_valid_seq_ids([anchor, len(ids) - 1])
         return fetch(new_ids)
+
+    # -- pose-encoding sequence matching (ref base_dataset.py:365-414) -------
+    def set_pose_encodings(self, encodings: np.ndarray):
+        """Attach per-frame pose embeddings enabling NN sequence matching
+        for matched_keypoints (the reference sets `pose_encodings`
+        externally and builds `seqs_per_action`)."""
+        assert len(encodings) == len(self)
+        self.pose_encodings = np.asarray(encodings, np.float32)
+        self._build_seqs_per_action()
+
+    def _build_seqs_per_action(self):
+        self.seqs_per_action = {}
+        v = self.datadict["v_ids"]
+        for vid in np.unique(v):
+            idx = np.where(v == vid)[0]
+            aid = int(self.datadict["action"][idx[0]])
+            self.seqs_per_action.setdefault(aid, []).append(idx)
+
+    def get_action_sequence(self, action_label: int) -> np.ndarray:
+        seqs = self.seqs_per_action[int(action_label)]
+        return seqs[int(self.rng.randint(len(seqs)))]
+
+    def _match_subsequence(self, ids: np.ndarray) -> np.ndarray:
+        """NN subsequence of a random same-action video under the pose
+        embeddings (window stride 5, mean L2 — ref :365-414)."""
+        action_id = int(self.datadict["action"][ids[0]])
+        ids_target = np.asarray(self.get_action_sequence(action_id))
+        base = self.pose_encodings[ids]
+        target = self.pose_encodings[ids_target]
+        L1 = len(ids)
+        lag = self.sequential_frame_lag
+        span = lag * L1
+        if len(ids_target) < span:
+            # target too short: fall back to matched map ids
+            anchor = int((self.matched_map_ids
+                          if self.matched_map_ids is not None
+                          else self.datadict["map_ids"])[ids[0]])
+            return self._sample_valid_seq_ids([anchor, L1 - 1])
+        starts = np.arange(0, len(ids_target) - span + 1, 5)
+        best, best_k = np.inf, 0
+        for k in starts:
+            win = target[k:k + span:lag]
+            d = float(np.mean(np.linalg.norm(win - base, axis=-1)))
+            if d < best:
+                best, best_k = d, k
+        return ids_target[best_k:best_k + span:lag]
 
     def _get_keypoints(self, ids):
         return self.datadict["keypoints"][np.asarray(ids)].astype(np.float32)

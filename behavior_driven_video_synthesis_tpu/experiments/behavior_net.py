@@ -145,6 +145,18 @@ class BehaviorNetExperiment(Experiment):
                         "n_epoch_eval", 1)) == 0:
                     self._run_eval(eval_fn, state, test_loader, meta, ks,
                                    step)
+                    if bool(cfg.general.get("visualization", False)):
+                        from .visualize import visualize_transfer3d
+
+                        visualize_transfer3d(
+                            model, state.net.params,
+                            next(iter(test_loader)),
+                            self.dirs.get("generated", "./generated"),
+                            ks(), seq_len=seq_len,
+                            norm_stats=meta.get("norm_stats"),
+                            n_vids=int(cfg.get("logging", {}).get(
+                                "n_vid_to_generate", 2)),
+                            tag=f"e{epoch:03d}_")
                 mgr.save(step, jax.device_get(state))
             mgr.save(int(jax.device_get(state.step)),
                      jax.device_get(state), force=True)
@@ -167,7 +179,21 @@ class BehaviorNetExperiment(Experiment):
                                              batch, ks())
                 self.avg.update(jax.device_get(fmetrics))
             fstep = int(jax.device_get(fstate.step))
-            self.logger.log(self.avg.averages(), fstep, prefix="flow/")
+            flow_logs = self.avg.averages()
+            # per-epoch KS gaussianity of the flow codes
+            # (reference lib/logging.py:2549-2562 logs this during eval)
+            try:
+                from .eval_protocol import ks_test_flow_gaussianity
+
+                b = self._infer_b(model, state, sample_batch, ks())
+                z, _ = flow_model.apply(
+                    {"params": fstate.flow.params,
+                     "buffers": fstate.flow.buffers}, b)
+                flow_logs["flow_ks_p"] = ks_test_flow_gaussianity(
+                    np.asarray(z))
+            except Exception as e:  # noqa: BLE001 — logging must not kill
+                print(f"flow KS logging skipped: {e}")
+            self.logger.log(flow_logs, fstep, prefix="flow/")
             fmgr.save(fstep, jax.device_get(fstate))
         return state, fstate
 

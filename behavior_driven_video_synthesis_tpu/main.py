@@ -76,6 +76,8 @@ def main(argv=None):
     config, dirs = load_parameters(args.config, args.restart, args.debug)
     if args.flow:
         config.training["only_flow"] = True
+    if args.visualization:
+        config.general["visualization"] = True
     if args.synth_model:
         config.setdefault("logging", Config())
         config.logging["synth_params"] = args.synth_model

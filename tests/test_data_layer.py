@@ -205,3 +205,39 @@ def test_matched_map_ids_same_action(h36m):
     assert np.all(acts[ds.matched_map_ids] == acts)
     item = ds[[0, 5]]
     assert item["matched_keypoints"].shape == item["keypoints"].shape
+
+
+def test_pose_encoding_sequence_matching(h36m):
+    """With pose encodings attached, matched_keypoints returns the nearest
+    same-action subsequence under the embedding metric."""
+    rng = np.random.RandomState(11)
+    ds = Human36mDataset(
+        transforms=None,
+        data_keys=["keypoints", "matched_keypoints", "action"],
+        seq_length=(6, 7), mode="train",
+        keypoint_type="keypoints_3d_world", label_transfer=True,
+        sequential_frame_lag=1, spatial_size=SPATIAL, data_seed=0,
+    )
+    ds.populate_from_arrays(synth_h36m_columns(rng))
+    # embeddings = the normalized keypoints themselves
+    ds.set_pose_encodings(ds.datadict["keypoints_3d_world"])
+    ids = ds._sample_valid_seq_ids([3, 6])
+    matched = ds._match_subsequence(ids)
+    assert len(matched) == len(ids)
+    # matched frames share the anchor's action
+    a = ds.datadict["action"]
+    assert np.all(a[matched] == a[ids[0]])
+    # the matched window must be at least as close as a random same-action
+    # window of the SAME video it was chosen from
+    base = ds.pose_encodings[ids]
+    d_best = np.mean(np.linalg.norm(ds.pose_encodings[matched] - base,
+                                    axis=-1))
+    vid = ds.datadict["v_ids"][matched[0]]
+    vid_idx = np.where(ds.datadict["v_ids"] == vid)[0]
+    rand_start = vid_idx[0] + 20
+    rand_win = np.arange(rand_start, rand_start + len(ids))
+    d_rand = np.mean(np.linalg.norm(ds.pose_encodings[rand_win] - base,
+                                    axis=-1))
+    assert d_best <= d_rand + 1e-6
+    item = ds[[3, 6]]
+    assert item["matched_keypoints"].shape == item["keypoints"].shape
