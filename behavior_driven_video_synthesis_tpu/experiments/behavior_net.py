@@ -146,16 +146,24 @@ class BehaviorNetExperiment(Experiment):
                     self._run_eval(eval_fn, state, test_loader, meta, ks,
                                    step)
                     if bool(cfg.general.get("visualization", False)):
-                        from .visualize import visualize_transfer3d
+                        from .visualize import (
+                            latent_interpolate_videos,
+                            visualize_transfer3d,
+                        )
 
+                        vis_batch = next(iter(test_loader))
+                        out_dir = self.dirs.get("generated", "./generated")
                         visualize_transfer3d(
-                            model, state.net.params,
-                            next(iter(test_loader)),
-                            self.dirs.get("generated", "./generated"),
+                            model, state.net.params, vis_batch, out_dir,
                             ks(), seq_len=seq_len,
                             norm_stats=meta.get("norm_stats"),
                             n_vids=int(cfg.get("logging", {}).get(
                                 "n_vid_to_generate", 2)),
+                            tag=f"e{epoch:03d}_")
+                        latent_interpolate_videos(
+                            model, state.net.params, vis_batch, out_dir,
+                            ks(), seq_len=seq_len,
+                            norm_stats=meta.get("norm_stats"),
                             tag=f"e{epoch:03d}_")
                 mgr.save(step, jax.device_get(state))
             mgr.save(int(jax.device_get(state.step)),

@@ -115,6 +115,40 @@ def render_rgb_videos(pipeline, params, z, x_start, app_img, extrinsics,
     return paths
 
 
+def latent_interpolate_videos(model, net_params, batch, out_dir: str, key,
+                              seq_len: int, norm_stats=None,
+                              n_steps: int = 5, fps: int = 12,
+                              tag: str = "") -> str:
+    """Slerp between two sequences' behavior latents and decode each
+    interpolant from the first sequence's start pose — one grid video
+    (reference latent_interpolate, lib/logging.py:909-1202)."""
+    from ..viz.latent import latent_interpolate
+
+    kps = jnp.asarray(batch["keypoints"], jnp.float32)[:2]
+    seq = kps[:, :-1]
+    _, mu, _, _ = model.apply({"params": net_params}, seq, sample=False,
+                              rngs={"sample": key},
+                              method=model.infer_b)
+    path_b = jnp.asarray(latent_interpolate(np.asarray(mu[0]),
+                                            np.asarray(mu[1]), n_steps))
+    starts = jnp.tile(seq[0:1, 0:1], (n_steps, 1, 1))
+    xs, _ = model.apply({"params": net_params}, path_b, starts, seq_len,
+                        method=model.generate_seq)
+
+    def to_world(flat):
+        arr = np.asarray(flat)
+        if norm_stats is not None:
+            arr = np.asarray(unnormalize(arr, norm_stats))
+        return arr.reshape(arr.shape[:-1] + (-1, 3))
+
+    world = to_world(xs)
+    rows = [create_video_3d(world[i], fps=fps) for i in range(n_steps)]
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{tag}latent_interp.mp4")
+    write_video(make_eval_grid(rows).astype(np.uint8), out, fps=fps)
+    return out
+
+
 def get_synth_input(dataset, idx: int, spatial_size: int):
     """Sample appearance image + camera for RGB rendering from a dataset's
     complete datadict (reference get_synth_input[_fix],
