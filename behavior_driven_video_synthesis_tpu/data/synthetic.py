@@ -86,3 +86,43 @@ class SyntheticSequenceDataset:
             count += 1
             if n_batches is not None and count >= n_batches:
                 return
+
+
+def synthetic_h36m_columns(n_frames_per_video: int = 120,
+                           subjects=(1, 5, 9), actions=(2, 4, 5),
+                           image_size: int = 1000,
+                           seed: int = 0):
+    """Synthetic Human3.6M-like columns (smooth 3D world trajectories,
+    camera tables) for tests/demos of the full H36M pipeline without the
+    real dataset.  Feed to Human36mDataset.populate_from_arrays."""
+    rng = np.random.RandomState(seed)
+    N = n_frames_per_video
+    cols = {k: [] for k in ["keypoints_3d_world", "p_ids", "f_ids",
+                            "action", "subaction", "camera_id",
+                            "image_size", "intrinsics_univ",
+                            "extrinsics_univ", "img_paths"]}
+    vid = 0
+    for pid in subjects:
+        for act in actions:
+            base = rng.randn(17, 3) * 0.3 + np.array([0, 0, 4.0])
+            freq = rng.uniform(0.05, 0.3, (17, 3))
+            phase = rng.uniform(0, 2 * np.pi, (17, 3))
+            t = np.arange(N)[:, None, None]
+            kps = base + 0.2 * np.sin(freq * t + phase)
+            cols["keypoints_3d_world"].append(kps)
+            cols["p_ids"].append(np.full(N, pid))
+            cols["f_ids"].append(np.arange(N) + 1)
+            cols["action"].append(np.full(N, act))
+            cols["subaction"].append(np.full(N, 1))
+            cols["camera_id"].append(np.full(N, 54138969))
+            cols["image_size"].append(np.tile([image_size, image_size],
+                                              (N, 1)))
+            cols["intrinsics_univ"].append(
+                np.tile([1145.0, image_size / 2, 1143.0, image_size / 2],
+                        (N, 1)))
+            extr = np.hstack([np.eye(3), np.zeros((3, 1))])
+            cols["extrinsics_univ"].append(np.tile(extr, (N, 1, 1)))
+            cols["img_paths"].append(np.asarray(
+                [f"video_{vid}/frame_{i:06d}.jpg" for i in range(N)]))
+            vid += 1
+    return {k: np.concatenate(v, axis=0) for k, v in cols.items()}

@@ -165,6 +165,9 @@ class BehaviorNetExperiment(Experiment):
                             ks(), seq_len=seq_len,
                             norm_stats=meta.get("norm_stats"),
                             tag=f"e{epoch:03d}_")
+                        self._maybe_render_rgb(model, state, vis_batch,
+                                               meta, ks, out_dir,
+                                               tag=f"e{epoch:03d}_")
                 mgr.save(step, jax.device_get(state))
             mgr.save(int(jax.device_get(state.step)),
                      jax.device_get(state), force=True)
@@ -206,6 +209,81 @@ class BehaviorNetExperiment(Experiment):
         return state, fstate
 
     # -- helpers ------------------------------------------------------------
+    def _maybe_render_rgb(self, model, state, batch, meta, ks, out_dir,
+                          tag: str = ""):
+        """When --synth_model points at a trained synthesis run AND the
+        dataset carries cameras, render RGB behavior videos through the
+        compiled pipeline (reference behavior_net.py:84-99 +
+        data_conversions_3d.py:1068-1228)."""
+        synth_dir = self.config.get("logging", {}).get("synth_params")
+        ds = meta.get("dataset")
+        stats = meta.get("norm_stats")
+        if not synth_dir or stats is None or \
+                "extrinsics_univ" not in getattr(ds, "datadict", {}):
+            return None
+        try:
+            from ..models.vunet import VUNet
+            from ..pipeline import BehaviorTransferPipeline
+            from .visualize import (
+                get_synth_input,
+                load_synth_params,
+                render_rgb_videos,
+            )
+
+            vunet_params, synth_cfg = load_synth_params(str(synth_dir))
+            arch = synth_cfg.architecture if synth_cfg else {}
+            data_cfg = synth_cfg.data if synth_cfg else {}
+            spatial = int(data_cfg.get("spatial_size", 64))
+            vunet = VUNet(
+                spatial_size=spatial,
+                nf_start=int(arch.get("nf_start", 8)),
+                nf_max=int(arch.get("nf_max", 16)),
+                n_latent_scales=int(arch.get("n_latent_scales", 2)),
+                bottleneck_factor=int(data_cfg.get("bottleneck_factor", 2)),
+                variant="alter")
+
+            pipe = BehaviorTransferPipeline(
+                model, vunet, ds.joint_model, stats.mean, stats.std,
+                stats.dim_to_use, spatial_size=spatial,
+                stickman_thickness=max(2.0, spatial / 64.0))
+
+            n = min(2, batch["keypoints"].shape[0])
+            kps = jnp.asarray(batch["keypoints"], jnp.float32)[:n]
+            seq = kps[:, :-1]
+            _, mu, _, _ = model.apply(
+                {"params": state.net.params}, seq, sample=False,
+                rngs={"sample": ks()}, method=model.infer_b)
+            apps, extrs, intrs, sizes = [], [], [], []
+            for i in range(n):
+                try:
+                    app, extr, intr, imsize = get_synth_input(ds, i, spatial)
+                    if app.shape[0] != spatial:
+                        import cv2
+
+                        app = cv2.resize(app, (spatial, spatial))
+                except Exception:
+                    app = np.zeros((spatial, spatial, 3), np.float32)
+                    extr = np.asarray(ds.datadict["extrinsics_univ"][i],
+                                      np.float32)
+                    intr = np.asarray(ds.datadict["intrinsics_univ"][i],
+                                      np.float32)
+                    imsize = np.asarray(ds.datadict["image_size"][i],
+                                        np.float32)
+                apps.append(app)
+                extrs.append(extr)
+                intrs.append(intr)
+                sizes.append(imsize)
+            params = {"behavior": state.net.params,
+                      "vunet": vunet_params, "flow": None}
+            return render_rgb_videos(
+                pipe, params, mu, kps[:, 0], jnp.asarray(np.stack(apps)),
+                jnp.asarray(np.stack(extrs)), jnp.asarray(np.stack(intrs)),
+                jnp.asarray(np.stack(sizes)), ks(), out_dir,
+                length=meta["seq_len"], tag=tag + "rgb")
+        except Exception as e:  # noqa: BLE001 — rendering must not kill runs
+            print(f"synth rendering skipped: {e}")
+            return None
+
     def _fallback_ckpt(self, template):
         """Flow-only training with no local cVAE checkpoint: search sibling
         run dirs under the same experiment for one (the reference matches by

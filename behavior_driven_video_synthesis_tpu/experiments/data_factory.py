@@ -75,15 +75,22 @@ def build_sequence_data(config, mode: str = "train",
                 "action_offset": 0}
         return loader, meta
 
-    if name in ("human3.6m", "human36m", "h36m"):
+    if name in ("human3.6m", "human36m", "h36m", "h36m_synthetic"):
         data_keys = data_keys or ["keypoints", "paired_keypoints", "action",
                                   "sample_ids", "paired_sample_ids"]
         kwargs = {k: v for k, v in dcfg.items()
                   if k not in ("dataset", "seq_length")}
         kwargs.setdefault("label_transfer", True)
+        kwargs.setdefault("keypoint_type", "keypoints_3d_world")
         ds = Human36mDataset(
             transforms=None, data_keys=data_keys, seq_length=seq_length,
             mode=mode, debug=config.general.get("debug", False), **kwargs)
+        if name == "h36m_synthetic":
+            from ..data.synthetic import synthetic_h36m_columns
+
+            ds.populate_from_arrays(synthetic_h36m_columns(
+                n_frames_per_video=int(dcfg.get("n_frames_per_video", 120)),
+                seed=0 if mode == "train" else 1))
         if len(ds) == 0:
             raise FileNotFoundError(
                 f"Human3.6M annot_export.h5 not found under "

@@ -171,19 +171,30 @@ def load_synth_params(run_dir: str):
 
     from ..core.config import load_config
 
-    cfg_path = os.path.join(run_dir, "config", "config.yaml")
-    config = load_config(cfg_path) if os.path.exists(cfg_path) else None
-    ckpt_dir = os.path.join(run_dir, "ckpt")
-    # run dirs are <base>/<experiment>/{ckpt,config,...}/<project>; accept
-    # either the project dir or a direct ckpt dir
-    candidates = [os.path.join(ckpt_dir, "reg_ckpt"),
-                  os.path.join(run_dir, "reg_ckpt"), run_dir]
-    for cand in candidates:
-        if os.path.isdir(cand):
-            mgr = ocp.CheckpointManager(os.path.abspath(cand))
-            step = mgr.latest_step()
-            if step is not None:
-                state = mgr.restore(step)  # raw pytree (no template)
-                vunet_params = state["vunet"]["params"]
-                return vunet_params, config
+    # run layouts: <base>/<experiment>/{ckpt,config,...}/<project>.  Accept
+    # the experiment dir (scan projects), a project's ckpt dir, or a direct
+    # orbax role dir.
+    candidates = []  # (ckpt_role_dir, config_yaml_or_None)
+    direct_cfg = os.path.join(run_dir, "config", "config.yaml")
+    candidates.append((os.path.join(run_dir, "ckpt", "reg_ckpt"),
+                       direct_cfg))
+    candidates.append((os.path.join(run_dir, "reg_ckpt"), direct_cfg))
+    candidates.append((run_dir, direct_cfg))
+    exp_ckpt = os.path.join(run_dir, "ckpt")
+    if os.path.isdir(exp_ckpt):
+        for proj in sorted(os.listdir(exp_ckpt)):
+            candidates.append((
+                os.path.join(exp_ckpt, proj, "reg_ckpt"),
+                os.path.join(run_dir, "config", proj, "config.yaml")))
+    for cand, cfg_path in candidates:
+        if not os.path.isdir(cand):
+            continue
+        mgr = ocp.CheckpointManager(os.path.abspath(cand))
+        step = mgr.latest_step()
+        if step is None:
+            continue
+        state = mgr.restore(step)  # raw pytree (no template)
+        config = (load_config(cfg_path)
+                  if cfg_path and os.path.exists(cfg_path) else None)
+        return state["vunet"]["params"], config
     raise FileNotFoundError(f"no synthesis checkpoint under {run_dir}")
