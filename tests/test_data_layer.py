@@ -241,3 +241,24 @@ def test_pose_encoding_sequence_matching(h36m):
     assert d_best <= d_rand + 1e-6
     item = ds[[3, 6]]
     assert item["matched_keypoints"].shape == item["keypoints"].shape
+
+
+def test_h36m_synthetic_factory_modes():
+    """h36m_synthetic exercises the full H36M pipeline (cameras, splits)
+    without the real dataset; both splits must be non-empty."""
+    from behavior_driven_video_synthesis_tpu.core import Config
+    from behavior_driven_video_synthesis_tpu.experiments.data_factory import (
+        build_sequence_data,
+    )
+    cfg = Config({"general": {},
+                  "data": {"dataset": "h36m_synthetic",
+                           "seq_length": (8, 9),
+                           "sequential_frame_lag": 2,
+                           "n_frames_per_video": 60},
+                  "training": {"batch_size": 4}})
+    for mode in ("train", "test"):
+        loader, meta = build_sequence_data(cfg, mode)
+        batch = next(iter(loader))
+        assert batch["keypoints"].shape[0] == 4
+        assert meta["n_kps"] == 51
+        assert meta["norm_stats"] is not None

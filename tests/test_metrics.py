@@ -137,3 +137,35 @@ class TestInceptionScore:
         probs = probs * (1 - 1e-9) + 1e-10
         mean, _ = inception_score_from_probs(probs)
         np.testing.assert_allclose(mean, 10.0, rtol=1e-3)
+
+
+class TestMseEuler:
+    def test_identical_zero_and_ordering(self, rng):
+        from behavior_driven_video_synthesis_tpu.metrics.sequence import (
+            mse_euler_per_action,
+        )
+        gt = rng.randn(6, 4, 99).astype(np.float32) * 0.3
+        actions = np.array([0, 0, 1, 1, 2, 2])
+        out = mse_euler_per_action(gt, gt, actions)
+        for v in out.values():
+            assert v < 1e-10
+        noisy = gt + rng.randn(*gt.shape).astype(np.float32) * 0.05
+        out2 = mse_euler_per_action(noisy, gt, actions)
+        assert all(v > 0 for v in out2.values())
+
+
+class TestEmbedding:
+    def test_pca_fallback_and_hist(self, rng, tmp_path):
+        from behavior_driven_video_synthesis_tpu.viz.embedding import (
+            embed_2d,
+            plot_embedding,
+            make_hist,
+        )
+        lat = rng.randn(40, 16).astype(np.float32)
+        emb = embed_2d(lat)
+        assert emb.shape == (40, 2)
+        img = plot_embedding(lat, labels=rng.randint(0, 3, 40),
+                             out_path=str(tmp_path / "emb.png"))
+        assert img.ndim == 3
+        h = make_hist(rng.rand(100), out_path=str(tmp_path / "hist.png"))
+        assert h.ndim == 3
