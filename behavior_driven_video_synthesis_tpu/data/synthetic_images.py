@@ -24,10 +24,13 @@ except Exception:  # pragma: no cover
 class SyntheticImageDataset:
     def __init__(self, n_persons: int = 8, frames_per_person: int = 16,
                  spatial_size: int = 64, seed: int = 0,
-                 with_reg: bool = False, reg_steps: int = 2):
+                 with_reg: bool = False, reg_steps: int = 2,
+                 inplane_normalize: bool = False, box_factor: int = 2):
         self.spatial_size = spatial_size
         self.with_reg = with_reg
         self.reg_steps = reg_steps
+        self.inplane_normalize = inplane_normalize
+        self.box_factor = box_factor
         self.joint_model = deepfashion_joint_model()
         rng = np.random.RandomState(seed)
         self.rng = rng
@@ -84,12 +87,24 @@ class SyntheticImageDataset:
     def _to_float(self, img):
         return (img.astype(np.float32) / 127.5) - 1.0
 
+    def _app(self, idx: int) -> np.ndarray:
+        """Appearance: plain render, or the 30-channel in-plane part stack
+        (normalize_parts over the DeepFashion norm_T) when enabled."""
+        img = self._render_person(idx)
+        if not self.inplane_normalize:
+            return self._to_float(img)
+        from .parts import normalize_parts
+
+        kps = self.norm_keypoints[idx] * self.spatial_size
+        part = self.spatial_size // 2 ** self.box_factor
+        stack = normalize_parts(img, kps, self.joint_model, part)
+        return (stack.astype(np.float32) / 127.5) - 1.0
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         item = {
             "pose_img": self._to_float(self._render_person(idx)),
             "stickman": self._to_float(self._stickman(idx)),
-            "app_img": self._to_float(
-                self._render_person(int(self.map_ids[idx]))),
+            "app_img": self._app(int(self.map_ids[idx])),
             "sample_ids": np.int64(idx),
             "p_ids": np.int64(self.p_ids[idx]),
         }

@@ -52,6 +52,9 @@ class ShapePoseExperiment(Experiment):
                 seed=0 if mode == "train" else 1,
                 with_reg=bool(self.config.training.get("train_regressor",
                                                        False)),
+                inplane_normalize=bool(dcfg.get("inplane_normalize",
+                                                False)),
+                box_factor=int(dcfg.get("box_factor", 2)),
             )
 
             class _Adapter:
