@@ -162,6 +162,8 @@ class SequenceSampler:
 
     def _draw_len(self) -> int:
         lo, hi = self.seq_lengths
+        if hi <= lo:  # single-frame datasets use seq_length=(0, 0)
+            return int(lo)
         return int(self.rng.randint(lo, hi))  # [lo, hi) like the reference
 
     def __iter__(self) -> Iterator[List[List[int]]]:
