@@ -53,6 +53,14 @@ class MTVAEExperiment(Experiment):
                 self.avg.update(jax.device_get(metrics))
             step = int(jax.device_get(state.step))
             self.logger.log(self.avg.averages(), step, prefix="train/")
+            if bool(cfg.general.get("visualization", False)):
+                from .visualize import visualize_mtvae
+
+                visualize_mtvae(
+                    model, state.net.params, batch,
+                    self.dirs.get("generated", "./generated"), ks(),
+                    norm_stats=meta.get("norm_stats"),
+                    tag=f"e{epoch:03d}_")
             mgr.save(step, jax.device_get(state))
         return state
 

@@ -115,6 +115,52 @@ def render_rgb_videos(pipeline, params, z, x_start, app_img, extrinsics,
     return paths
 
 
+def visualize_mtvae(model, net_params, batch, out_dir: str, key,
+                    norm_stats=None, n_vids: int = 2, n_samples: int = 3,
+                    fps: int = 12, tag: str = "") -> Dict[str, str]:
+    """MTVAE video suite (reference lib/logging_mtvae.py:574
+    visualize_transfer3d variant): per sequence, rows = GT future /
+    reconstruction / prior samples, decoded from the conditioning prefix."""
+    kps = jnp.asarray(batch["keypoints"], jnp.float32)[:n_vids]
+    cross = jnp.asarray(batch.get("paired_keypoints",
+                                  batch["keypoints"]),
+                        jnp.float32)[:n_vids]
+    B = kps.shape[0]
+
+    @jax.jit
+    def rollouts(net_params, kps, cross, key):
+        k1, *k_s = jax.random.split(key, 1 + n_samples)
+        recon, *_ = model.apply({"params": net_params}, kps, cross,
+                                rngs={"sample": k1})
+        samples = [model.apply({"params": net_params}, kps, cross,
+                               sample_prior=True, rngs={"sample": k})[0]
+                   for k in k_s]
+        return recon, jnp.stack(samples, 1)  # (B, S, T, K)
+
+    recon, samples = rollouts(net_params, kps, cross, key)
+
+    def to_world(flat):
+        arr = np.asarray(flat)
+        if norm_stats is not None:
+            arr = np.asarray(unnormalize(arr, norm_stats))
+        return arr.reshape(arr.shape[:-1] + (-1, 3))
+
+    gt_w = to_world(np.asarray(kps[:, model.n_cond:]))
+    rec_w = to_world(recon)
+    samp_w = to_world(samples)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for i in range(B):
+        rows = [create_video_3d(gt_w[i], fps=fps),
+                create_video_3d(rec_w[i], fps=fps)]
+        rows += [create_video_3d(samp_w[i, s], fps=fps)
+                 for s in range(n_samples)]
+        out = os.path.join(out_dir, f"{tag}mtvae_seq{i}.mp4")
+        write_video(make_eval_grid(rows).astype(np.uint8), out, fps=fps)
+        paths[f"{tag}mtvae_seq{i}"] = out
+    return paths
+
+
 def latent_interpolate_videos(model, net_params, batch, out_dir: str, key,
                               seq_len: int, norm_stats=None,
                               n_steps: int = 5, fps: int = 12,
