@@ -115,3 +115,155 @@ def convert_latent_flow(state_dict: Dict, n_flows: int,
             }
         }
     return {"params": params, "buffers": buffers}
+
+
+def _norm_conv(sd: Dict, prefix: str) -> Dict:
+    """Reference NormConv2d -> our NormConv2d params (OIHW -> HWIO)."""
+    v = np.asarray(sd[f"{prefix}.conv.weight_v"])
+    return {
+        "v": jnp.asarray(v.transpose(2, 3, 1, 0)),
+        "g": jnp.asarray(np.asarray(sd[f"{prefix}.conv.weight_g"]
+                                    ).reshape(-1)),
+        "bias": _a(sd[f"{prefix}.conv.bias"]),
+        "gamma": jnp.asarray(np.asarray(sd[f"{prefix}.gamma"]).reshape(-1)),
+        "beta": jnp.asarray(np.asarray(sd[f"{prefix}.beta"]).reshape(-1)),
+    }
+
+
+def _rnb(sd: Dict, prefix: str, residual: bool) -> Dict:
+    """Reference VunetRNB -> ours.  Residual blocks carry a 1x1 'nin'
+    (our inner NormConv2d_0) before the main conv (NormConv2d_1)."""
+    if residual:
+        return {"NormConv2d_0": _norm_conv(sd, f"{prefix}.nin"),
+                "NormConv2d_1": _norm_conv(sd, f"{prefix}.conv")}
+    return {"NormConv2d_0": _norm_conv(sd, f"{prefix}.conv")}
+
+
+def _enc_up(sd: Dict, ref: str, n_scales: int) -> Dict:
+    out = {"NormConv2d_0": _norm_conv(sd, f"{ref}.nin")}
+    for k in range(2 * n_scales):
+        out[f"VunetRNB_{k}"] = _rnb(sd, f"{ref}.blocks.{k}", residual=False)
+    for i in range(n_scales - 1):
+        out[f"Downsample_{i}"] = {
+            "NormConv2d_0": _norm_conv(sd, f"{ref}.downs.{i}.down")}
+    return out
+
+
+def convert_vunet_alter(state_dict: Dict, n_scales: int, n_scales_x: int,
+                        n_latent_scales: int = 2) -> Dict:
+    """Reference VunetAlter (models/vunets.py:426-515, conv_layer_type=l1)
+    state dict -> {"params": ...} for our VUNet(variant="alter").
+
+    Module-order mapping (verified against both construction orders):
+      eu/du: nin, 2 RNBs/scale, downsample between scales
+      ed:    nin, per latent scale [res-RNB, mu conv, logstd conv, res-RNB,
+             subpixel up], final res-RNB
+      dd:    nin, per scale [res-RNB, (latent: z-injection res-RNB),
+             res-RNB, upsample], out conv
+    """
+    sd = state_dict
+    params: Dict = {}
+    params["eu"] = _enc_up(sd, "eu", n_scales_x)
+    params["du"] = _enc_up(sd, "du", n_scales)
+
+    ed: Dict = {"NormConv2d_0": _norm_conv(sd, "ed.nin")}
+    conv_idx = 1
+    for i in range(n_latent_scales):
+        ed[f"VunetRNB_{2 * i}"] = _rnb(sd, f"ed.blocks.{2 * i}",
+                                       residual=True)
+        ed[f"NormConv2d_{conv_idx}"] = _norm_conv(
+            sd, f"ed.make_latent_params.{i}")
+        ed[f"NormConv2d_{conv_idx + 1}"] = _norm_conv(
+            sd, f"ed.make_logstds.{i}")
+        conv_idx += 2
+        ed[f"VunetRNB_{2 * i + 1}"] = _rnb(sd, f"ed.blocks.{2 * i + 1}",
+                                           residual=True)
+        ed[f"Upsample_{i}"] = {
+            "NormConv2d_0": _norm_conv(sd, f"ed.ups.{i}.up")}
+    ed[f"VunetRNB_{2 * n_latent_scales}"] = _rnb(sd, "ed.fin_block",
+                                                 residual=True)
+    params["ed"] = ed
+
+    dd: Dict = {"NormConv2d_0": _norm_conv(sd, "dd.nin")}
+    rnb_idx = 0
+    for i in range(n_scales):
+        dd[f"VunetRNB_{rnb_idx}"] = _rnb(sd, f"dd.blocks.{2 * i}",
+                                         residual=True)
+        rnb_idx += 1
+        if i < n_latent_scales:
+            dd[f"VunetRNB_{rnb_idx}"] = _rnb(sd, f"dd.auto_blocks.{i}",
+                                             residual=True)
+            rnb_idx += 1
+        dd[f"VunetRNB_{rnb_idx}"] = _rnb(sd, f"dd.blocks.{2 * i + 1}",
+                                         residual=True)
+        rnb_idx += 1
+        if i + 1 < n_scales:
+            dd[f"Upsample_{i}"] = {
+                "NormConv2d_0": _norm_conv(sd, f"dd.ups.{i}.up")}
+    dd["NormConv2d_1"] = _norm_conv(sd, "dd.out_conv")
+    params["dd"] = dd
+    return {"params": params}
+
+
+def vunet_alter_reference_state_dict(variables: Dict, n_scales: int,
+                                     n_scales_x: int,
+                                     n_latent_scales: int = 2) -> Dict:
+    """Inverse of convert_vunet_alter: our params -> a reference-named
+    state dict (numpy, torch layouts).  Used for round-trip testing and for
+    EXPORTING our checkpoints to the reference."""
+    out: Dict = {}
+
+    def put_conv(prefix: str, p: Dict):
+        v = np.asarray(p["v"]).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        out[f"{prefix}.conv.weight_v"] = v
+        out[f"{prefix}.conv.weight_g"] = np.asarray(p["g"]).reshape(
+            -1, 1, 1, 1)
+        out[f"{prefix}.conv.bias"] = np.asarray(p["bias"])
+        out[f"{prefix}.gamma"] = np.asarray(p["gamma"]).reshape(1, -1, 1, 1)
+        out[f"{prefix}.beta"] = np.asarray(p["beta"]).reshape(1, -1, 1, 1)
+
+    def put_rnb(prefix: str, p: Dict):
+        if "NormConv2d_1" in p:
+            put_conv(f"{prefix}.nin", p["NormConv2d_0"])
+            put_conv(f"{prefix}.conv", p["NormConv2d_1"])
+        else:
+            put_conv(f"{prefix}.conv", p["NormConv2d_0"])
+
+    prm = variables["params"]
+    for ref, ns in (("eu", n_scales_x), ("du", n_scales)):
+        put_conv(f"{ref}.nin", prm[ref]["NormConv2d_0"])
+        for k in range(2 * ns):
+            put_rnb(f"{ref}.blocks.{k}", prm[ref][f"VunetRNB_{k}"])
+        for i in range(ns - 1):
+            put_conv(f"{ref}.downs.{i}.down",
+                     prm[ref][f"Downsample_{i}"]["NormConv2d_0"])
+
+    ed = prm["ed"]
+    put_conv("ed.nin", ed["NormConv2d_0"])
+    conv_idx = 1
+    for i in range(n_latent_scales):
+        put_rnb(f"ed.blocks.{2 * i}", ed[f"VunetRNB_{2 * i}"])
+        put_conv(f"ed.make_latent_params.{i}",
+                 ed[f"NormConv2d_{conv_idx}"])
+        put_conv(f"ed.make_logstds.{i}", ed[f"NormConv2d_{conv_idx + 1}"])
+        conv_idx += 2
+        put_rnb(f"ed.blocks.{2 * i + 1}", ed[f"VunetRNB_{2 * i + 1}"])
+        put_conv(f"ed.ups.{i}.up", ed[f"Upsample_{i}"]["NormConv2d_0"])
+    put_rnb("ed.fin_block", ed[f"VunetRNB_{2 * n_latent_scales}"])
+
+    dd = prm["dd"]
+    put_conv("dd.nin", dd["NormConv2d_0"])
+    rnb_idx = 0
+    for i in range(n_scales):
+        put_rnb(f"dd.blocks.{2 * i}", dd[f"VunetRNB_{rnb_idx}"])
+        rnb_idx += 1
+        if i < n_latent_scales:
+            put_rnb(f"dd.auto_blocks.{i}", dd[f"VunetRNB_{rnb_idx}"])
+            rnb_idx += 1
+        put_rnb(f"dd.blocks.{2 * i + 1}", dd[f"VunetRNB_{rnb_idx}"])
+        rnb_idx += 1
+        if i + 1 < n_scales:
+            put_conv(f"dd.ups.{i}.up",
+                     dd[f"Upsample_{i}"]["NormConv2d_0"])
+    put_conv("dd.out_conv", dd["NormConv2d_1"])
+    return out

@@ -168,3 +168,40 @@ def test_flow_conversion_numerics(rng):
     # converted flow still exactly invertible
     back = flow.apply(variables, z, method=flow.reverse)
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-3)
+
+
+def test_vunet_alter_conversion_roundtrip(rng):
+    """our params -> reference state dict -> our params must round-trip
+    exactly, covering every parameter (structure + layout transforms)."""
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_vunet_alter,
+        vunet_alter_reference_state_dict,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+
+    model = VUNet(spatial_size=32, nf_start=8, nf_max=16, variant="alter")
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sample": jax.random.PRNGKey(1)}, x, x)
+    n_scales = model.n_scales
+    sd = vunet_alter_reference_state_dict(
+        variables, n_scales=n_scales, n_scales_x=model.n_scales_x)
+    # torch layouts present
+    assert sd["eu.nin.conv.weight_v"].shape == (8, 3, 1, 1)  # OIHW
+    back = convert_vunet_alter(sd, n_scales=n_scales,
+                               n_scales_x=model.n_scales_x)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back["params"]))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+    # converted params drive the model identically
+    out1 = model.apply(variables, x, x,
+                       rngs={"sample": jax.random.PRNGKey(2)})[0]
+    out2 = model.apply(back, x, x,
+                       rngs={"sample": jax.random.PRNGKey(2)})[0]
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
