@@ -267,3 +267,133 @@ def vunet_alter_reference_state_dict(variables: Dict, n_scales: int,
                      dd[f"Upsample_{i}"]["NormConv2d_0"])
     put_conv("dd.out_conv", dd["NormConv2d_1"])
     return out
+
+
+def convert_vunet_org(state_dict: Dict, n_scales: int, n_scales_x: int,
+                      n_latent_scales: int = 2) -> Dict:
+    """Reference VunetOrg (models/vunets.py:18-106) -> our
+    VUNet(variant="org"), including the 4-group autoregressive prior
+    (auto_lp convs, auto_blocks RNBs, latent_nins)."""
+    sd = state_dict
+    params: Dict = {}
+    params["eu"] = _enc_up(sd, "eu", n_scales_x)
+    params["du"] = _enc_up(sd, "du", n_scales)
+
+    # EncDown (org): one latent-param conv per scale, fixed std.
+    ed: Dict = {"NormConv2d_0": _norm_conv(sd, "ed.nin")}
+    for i in range(n_latent_scales):
+        ed[f"VunetRNB_{2 * i}"] = _rnb(sd, f"ed.blocks.{2 * i}",
+                                       residual=True)
+        ed[f"NormConv2d_{1 + i}"] = _norm_conv(
+            sd, f"ed.make_latent_params.{i}")
+        ed[f"VunetRNB_{2 * i + 1}"] = _rnb(sd, f"ed.blocks.{2 * i + 1}",
+                                           residual=True)
+        ed[f"Upsample_{i}"] = {
+            "NormConv2d_0": _norm_conv(sd, f"ed.ups.{i}.up")}
+    ed[f"VunetRNB_{2 * n_latent_scales}"] = _rnb(sd, "ed.fin_block",
+                                                 residual=True)
+    params["ed"] = ed
+
+    # DecDown (org): AR prior per latent scale.
+    dd: Dict = {"NormConv2d_0": _norm_conv(sd, "dd.nin")}
+    rnb_idx, conv_idx = 0, 1
+    for i in range(n_scales):
+        dd[f"VunetRNB_{rnb_idx}"] = _rnb(sd, f"dd.blocks.{2 * i}",
+                                         residual=True)
+        rnb_idx += 1
+        if i < n_latent_scales:
+            scale = f"l_{i}"
+            dd[f"VunetRNB_{rnb_idx}"] = _rnb(
+                sd, f"dd.auto_blocks.{scale}.0", residual=False)
+            rnb_idx += 1
+            for l in range(4):
+                dd[f"NormConv2d_{conv_idx}"] = _norm_conv(
+                    sd, f"dd.auto_lp.{scale}.{l}")
+                conv_idx += 1
+                if l + 1 < 4:
+                    dd[f"VunetRNB_{rnb_idx}"] = _rnb(
+                        sd, f"dd.auto_blocks.{scale}.{l + 1}",
+                        residual=True)
+                    rnb_idx += 1
+            dd[f"NormConv2d_{conv_idx}"] = _norm_conv(
+                sd, f"dd.latent_nins.{scale}")
+            conv_idx += 1
+        dd[f"VunetRNB_{rnb_idx}"] = _rnb(sd, f"dd.blocks.{2 * i + 1}",
+                                         residual=True)
+        rnb_idx += 1
+        if i + 1 < n_scales:
+            dd[f"Upsample_{i}"] = {
+                "NormConv2d_0": _norm_conv(sd, f"dd.ups.{i}.up")}
+    dd[f"NormConv2d_{conv_idx}"] = _norm_conv(sd, "dd.out_conv")
+    params["dd"] = dd
+    return {"params": params}
+
+
+def vunet_org_reference_state_dict(variables: Dict, n_scales: int,
+                                   n_scales_x: int,
+                                   n_latent_scales: int = 2) -> Dict:
+    """Inverse of convert_vunet_org (export to the reference format)."""
+    out: Dict = {}
+
+    def put_conv(prefix: str, p: Dict):
+        out[f"{prefix}.conv.weight_v"] = np.asarray(p["v"]).transpose(
+            3, 2, 0, 1)
+        out[f"{prefix}.conv.weight_g"] = np.asarray(p["g"]).reshape(
+            -1, 1, 1, 1)
+        out[f"{prefix}.conv.bias"] = np.asarray(p["bias"])
+        out[f"{prefix}.gamma"] = np.asarray(p["gamma"]).reshape(1, -1, 1, 1)
+        out[f"{prefix}.beta"] = np.asarray(p["beta"]).reshape(1, -1, 1, 1)
+
+    def put_rnb(prefix: str, p: Dict):
+        if "NormConv2d_1" in p:
+            put_conv(f"{prefix}.nin", p["NormConv2d_0"])
+            put_conv(f"{prefix}.conv", p["NormConv2d_1"])
+        else:
+            put_conv(f"{prefix}.conv", p["NormConv2d_0"])
+
+    prm = variables["params"]
+    for ref, ns in (("eu", n_scales_x), ("du", n_scales)):
+        put_conv(f"{ref}.nin", prm[ref]["NormConv2d_0"])
+        for k in range(2 * ns):
+            put_rnb(f"{ref}.blocks.{k}", prm[ref][f"VunetRNB_{k}"])
+        for i in range(ns - 1):
+            put_conv(f"{ref}.downs.{i}.down",
+                     prm[ref][f"Downsample_{i}"]["NormConv2d_0"])
+
+    ed = prm["ed"]
+    put_conv("ed.nin", ed["NormConv2d_0"])
+    for i in range(n_latent_scales):
+        put_rnb(f"ed.blocks.{2 * i}", ed[f"VunetRNB_{2 * i}"])
+        put_conv(f"ed.make_latent_params.{i}", ed[f"NormConv2d_{1 + i}"])
+        put_rnb(f"ed.blocks.{2 * i + 1}", ed[f"VunetRNB_{2 * i + 1}"])
+        put_conv(f"ed.ups.{i}.up", ed[f"Upsample_{i}"]["NormConv2d_0"])
+    put_rnb("ed.fin_block", ed[f"VunetRNB_{2 * n_latent_scales}"])
+
+    dd = prm["dd"]
+    put_conv("dd.nin", dd["NormConv2d_0"])
+    rnb_idx, conv_idx = 0, 1
+    for i in range(n_scales):
+        put_rnb(f"dd.blocks.{2 * i}", dd[f"VunetRNB_{rnb_idx}"])
+        rnb_idx += 1
+        if i < n_latent_scales:
+            scale = f"l_{i}"
+            put_rnb(f"dd.auto_blocks.{scale}.0", dd[f"VunetRNB_{rnb_idx}"])
+            rnb_idx += 1
+            for l in range(4):
+                put_conv(f"dd.auto_lp.{scale}.{l}",
+                         dd[f"NormConv2d_{conv_idx}"])
+                conv_idx += 1
+                if l + 1 < 4:
+                    put_rnb(f"dd.auto_blocks.{scale}.{l + 1}",
+                            dd[f"VunetRNB_{rnb_idx}"])
+                    rnb_idx += 1
+            put_conv(f"dd.latent_nins.{scale}",
+                     dd[f"NormConv2d_{conv_idx}"])
+            conv_idx += 1
+        put_rnb(f"dd.blocks.{2 * i + 1}", dd[f"VunetRNB_{rnb_idx}"])
+        rnb_idx += 1
+        if i + 1 < n_scales:
+            put_conv(f"dd.ups.{i}.up",
+                     dd[f"Upsample_{i}"]["NormConv2d_0"])
+    put_conv("dd.out_conv", dd[f"NormConv2d_{conv_idx}"])
+    return out

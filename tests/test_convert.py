@@ -205,3 +205,35 @@ def test_vunet_alter_conversion_roundtrip(rng):
     out2 = model.apply(back, x, x,
                        rngs={"sample": jax.random.PRNGKey(2)})[0]
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_vunet_org_conversion_roundtrip(rng):
+    """org variant (4-group AR prior) converter round-trips exactly."""
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_vunet_org,
+        vunet_org_reference_state_dict,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+
+    model = VUNet(spatial_size=32, nf_start=8, nf_max=16, variant="org")
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sample": jax.random.PRNGKey(1)}, x, x)
+    sd = vunet_org_reference_state_dict(
+        variables, n_scales=model.n_scales, n_scales_x=model.n_scales_x)
+    assert any(k.startswith("dd.auto_lp.l_0.") for k in sd)
+    assert any(k.startswith("dd.latent_nins.l_1") for k in sd)
+    back = convert_vunet_org(sd, n_scales=model.n_scales,
+                             n_scales_x=model.n_scales_x)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back["params"]))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+    out1 = model.apply(variables, x, x,
+                       rngs={"sample": jax.random.PRNGKey(2)})[0]
+    out2 = model.apply(back, x, x,
+                       rngs={"sample": jax.random.PRNGKey(2)})[0]
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
