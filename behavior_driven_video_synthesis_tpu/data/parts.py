@@ -10,7 +10,7 @@ native/ for the hot loader path.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ latest-by-step restore.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -14,7 +14,7 @@ Re-design of /root/reference/experiments/behavior_net.py (1521 LoC):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

@@ -1,7 +1,7 @@
 """Dataset/loader construction shared by the experiment drivers."""
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -8,8 +8,6 @@ checkpoints.
 from __future__ import annotations
 
 import os
-from typing import Dict
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,10 +15,8 @@ import optax
 
 from ..core.rng import KeySeq
 from ..data import (
-    Human36mDataset,
     Loader,
     PerPersonSampler,
-    ReconstructionSampler,
     SequenceSampler,
     RandomSampler,
     get_dataset,

@@ -11,7 +11,7 @@ video batch; only mp4 encoding is host-side.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

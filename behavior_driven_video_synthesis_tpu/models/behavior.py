@@ -18,7 +18,7 @@ All randomness is drawn through linen RNG collections ("sample").
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

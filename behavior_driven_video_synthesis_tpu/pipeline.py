@@ -14,7 +14,7 @@ lib/logging.py:103-906).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import jax

@@ -26,7 +26,7 @@ one batch, which is immaterial to the adversarial game.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from ..models.flows.transformer import flow_loss, gaussian_reference_nll

@@ -13,7 +13,6 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from ..models.synth_discriminators import (

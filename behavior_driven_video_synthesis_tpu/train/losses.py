@@ -13,7 +13,7 @@ Equivalents of /root/reference/lib/losses.py for the active experiments:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

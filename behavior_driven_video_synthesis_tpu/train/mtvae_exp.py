@@ -10,7 +10,6 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from ..core.schedules import linear_var

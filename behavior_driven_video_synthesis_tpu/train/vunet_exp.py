@@ -23,7 +23,6 @@ from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from ..core import schedules

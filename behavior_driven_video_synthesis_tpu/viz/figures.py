@@ -8,7 +8,7 @@ Equivalents of the reference's lib/figures.py entry points:
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

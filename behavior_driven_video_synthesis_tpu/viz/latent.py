@@ -3,8 +3,6 @@ latents (reference lib/utils.py:920-925 `slerp`; lib/logging.py:909-1202
 `latent_interpolate`)."""
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import numpy as np
 
 

@@ -9,7 +9,7 @@ mp4 writing via cv2.VideoWriter, 3D skeletons via matplotlib Agg.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
