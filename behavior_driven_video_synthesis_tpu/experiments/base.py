@@ -35,6 +35,21 @@ class Experiment:
         )
         self.avg = RunningAverage(window=100)
         self.debug = bool(config.general.get("debug", False))
+        # metric-fetch cadence: pulling metrics to host EVERY step costs a
+        # blocking device round trip per step (through this environment's
+        # relay that can be 0.3-10 s!), serializing training.  Sample
+        # metrics every N steps instead; async dispatch then overlaps the
+        # steps in between.
+        self.metrics_every = int(config.get("logging", {}).get(
+            "metrics_every", 10))
+        self._metric_tick = 0
+
+    def collect(self, metrics) -> None:
+        """Sampled metric collection (host fetch every metrics_every
+        steps)."""
+        self._metric_tick += 1
+        if self._metric_tick % self.metrics_every == 0:
+            self.avg.update(jax.device_get(metrics))
 
     def ckpt_manager(self, role: str, max_to_keep: int = 3
                      ) -> CheckpointManager:

@@ -138,7 +138,7 @@ class BehaviorNetExperiment(Experiment):
                 for batch in train_loader:
                     batch = self._prep_batch(batch, meta)
                     state, metrics = step_fn(state, batch, ks(), enable)
-                    self.avg.update(jax.device_get(metrics))
+                    self.collect(metrics)
                 step = int(jax.device_get(state.step))
                 self.logger.log(self.avg.averages(), step, prefix="train/")
                 if (epoch + 1) % int(cfg.get("logging", {}).get(
@@ -188,7 +188,7 @@ class BehaviorNetExperiment(Experiment):
                 batch = self._prep_batch(batch, meta)
                 fstate, fmetrics = flow_step(fstate, state.net.params,
                                              batch, ks())
-                self.avg.update(jax.device_get(fmetrics))
+                self.collect(fmetrics)
             fstep = int(jax.device_get(fstate.step))
             flow_logs = self.avg.averages()
             # per-epoch KS gaussianity of the flow codes

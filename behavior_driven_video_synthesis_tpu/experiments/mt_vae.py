@@ -50,7 +50,7 @@ class MTVAEExperiment(Experiment):
                         batch["paired_keypoints"], np.float32),
                 })
                 state, metrics = step_fn(state, batch, ks(), enable)
-                self.avg.update(jax.device_get(metrics))
+                self.collect(metrics)
             step = int(jax.device_get(state.step))
             self.logger.log(self.avg.averages(), step, prefix="train/")
             if bool(cfg.general.get("visualization", False)):

@@ -176,7 +176,7 @@ class ShapePoseExperiment(Experiment):
             for batch in train_loader:
                 batch = self.place_batch(batch)
                 state, metrics = step_fn(state, batch, ks())
-                self.avg.update(jax.device_get(metrics))
+                self.collect(metrics)
                 it += 1
                 if it % 50 == 0 or it == end_iteration:
                     self.logger.log(self.avg.averages(), it,
