@@ -123,11 +123,13 @@ class BehaviorNetExperiment(Experiment):
             state = self._fallback_ckpt(state)
         state = self.place(state)
 
+        # donate the train state: params+opt moments get reused in place
+        # (the 630M-param flow stage does NOT fit HBM without donation)
         step_fn = jax.jit(
             make_behavior_train_step(model, regressor, cls_action,
                                      cls_action2, cls_beta, txs, cfg,
                                      seq_len),
-            static_argnames=(),
+            donate_argnums=(0,),
         )
         eval_fn = jax.jit(make_behavior_eval_step(model, seq_len))
 
@@ -181,8 +183,9 @@ class BehaviorNetExperiment(Experiment):
         fstate = create_flow_state(ks(), flow_model, flow_tx, sample_b)
         fstate, fstart, fmgr = self.maybe_restore("flow_ckpt", fstate)
         fstate = self.place(fstate)
-        flow_step = jax.jit(make_flow_train_step(model, flow_model, flow_tx,
-                                                 seq_len))
+        flow_step = jax.jit(
+            make_flow_train_step(model, flow_model, flow_tx, seq_len),
+            donate_argnums=(0,))
         for epoch in range(self.n_flow_epochs if not self.debug else 1):
             for batch in train_loader:
                 batch = self._prep_batch(batch, meta)

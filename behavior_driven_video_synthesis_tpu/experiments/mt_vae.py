@@ -12,6 +12,7 @@ from ..models.mtvae import MTVAE
 from ..train.mtvae_exp import create_mtvae_state, make_mtvae_train_step
 from .base import Experiment
 from .data_factory import build_sequence_data
+from .eval_protocol import cross_transfer_metrics
 
 
 class MTVAEExperiment(Experiment):
@@ -39,7 +40,8 @@ class MTVAEExperiment(Experiment):
         state, start, mgr = self.maybe_restore("reg_ckpt", state)
         state = self.place(state)
 
-        step_fn = jax.jit(make_mtvae_train_step(model, tx, cfg, steps))
+        step_fn = jax.jit(make_mtvae_train_step(model, tx, cfg, steps),
+                          donate_argnums=(0,))
         steps_per_epoch = max(1, len(train_loader))
         for epoch in range(int(start) // steps_per_epoch, n_epochs):
             enable = jnp.asarray(epoch < n_epochs - 10 or n_epochs <= 10)
@@ -89,7 +91,21 @@ class MTVAEExperiment(Experiment):
             keys = jax.random.split(key, n_samples)
             return jax.vmap(one)(keys)  # (S, B, T, K)
 
+        @jax.jit
+        def recon_and_cross(params, kps, cross, key):
+            """Posterior self-reconstruction and cross-context transfer
+            (reference logging_mtvae.eval_nets:36-: self_recon_eval_av MSE
+            + the X_cross / ADE_c/FDE_c collections)."""
+            k1, k2 = jax.random.split(key)
+            self_out, *_ = model.apply(
+                {"params": params}, kps, cross, rngs={"sample": k1})
+            cross_out, *_ = model.apply(
+                {"params": params}, kps, cross, transfer=True,
+                rngs={"sample": k2})
+            return self_out, cross_out
+
         rows = []
+        vis_done = False
         for i, batch in enumerate(test_loader):
             kps = jnp.asarray(batch["keypoints"], jnp.float32)
             cross = jnp.asarray(batch["paired_keypoints"], jnp.float32)
@@ -98,11 +114,62 @@ class MTVAEExperiment(Experiment):
             gt = kps[:, model.n_cond:]
             s3 = samples.reshape(samples.shape[:3] + (-1, 3))
             g3 = gt.reshape(gt.shape[:2] + (-1, 3))
-            rows.append({k: float(v) for k, v in
-                         sequence_sample_metrics(s3, g3).items()})
+            row = {k: float(v) for k, v in
+                   sequence_sample_metrics(s3, g3).items()}
+
+            self_out, cross_out = recon_and_cross(
+                state.net.params, kps, cross, ks())
+            row["self_recon_mse"] = float(jnp.mean((self_out - gt) ** 2))
+            c3 = cross_out.reshape(cross_out.shape[:2] + (-1, 3))
+            row.update(cross_transfer_metrics(
+                c3, cross[:, model.n_cond:].reshape(
+                    cross.shape[0], -1, c3.shape[2], 3)))
+            rows.append(row)
+
+            if not vis_done and bool(cfg.general.get("visualization",
+                                                     False)):
+                self._write_eval_strips(samples, self_out, cross_out, gt,
+                                        meta)
+                vis_done = True
             if i + 1 >= max_batches or (self.debug and i >= 1):
                 break
         summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         self.logger.log(summary, 0, prefix="infer/")
         print("mtvae inference:", summary)
         return summary
+
+    def _write_eval_strips(self, samples, self_out, cross_out, gt, meta,
+                           n_vids: int = 2):
+        """3D-skeleton filmstrips for prior samples / self-recon / transfer
+        (reference logging_mtvae X_prior/X_self/X_cross video dumps)."""
+        import os
+
+        from ..geometry.normalization import unnormalize
+        from ..viz.videos import create_video_3d
+        from ..viz.figures import sample_examples_grid
+
+        out_dir = self.dirs.get("generated", "./generated")
+        os.makedirs(out_dir, exist_ok=True)
+        stats = meta.get("norm_stats")
+
+        def to_world(seq):  # (T, K*3) -> (T, K, 3)
+            arr = np.asarray(seq, np.float32)
+            if stats is not None:
+                arr = np.asarray(unnormalize(arr, stats))
+            return arr.reshape(arr.shape[0], -1, 3)
+
+        try:
+            import cv2
+        except Exception:  # pragma: no cover
+            return
+        for b in range(min(n_vids, gt.shape[0])):
+            strips = []
+            for name, seq in (("prior", samples[b, 0]),
+                              ("self", self_out[b]),
+                              ("cross", cross_out[b]), ("gt", gt[b])):
+                frames = create_video_3d(to_world(seq))
+                strips.append(sample_examples_grid(frames[None],
+                                                   n_frames=6))
+            grid = np.concatenate(strips, axis=0)  # already uint8 RGB
+            cv2.imwrite(os.path.join(out_dir, f"mtvae_eval_{b}.png"),
+                        cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))

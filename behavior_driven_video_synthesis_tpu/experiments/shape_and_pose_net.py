@@ -163,7 +163,8 @@ class ShapePoseExperiment(Experiment):
         state = self.place(state)
 
         step_fn = jax.jit(self._make_step(vunet, regressor, vgg, vgg_vars,
-                                          txs, disc_model=disc_model))
+                                          txs, disc_model=disc_model),
+                          donate_argnums=(0,))
 
         end_iteration = int(cfg.training.get("end_iteration", 1000))
         if self.debug:

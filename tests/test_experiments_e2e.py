@@ -1,0 +1,142 @@
+"""End-to-end CLI tests: every experiment family trains (and where cheap,
+evaluates) through ``main.main`` on tiny synthetic configs.
+
+This is the surface the reference exposes (reference main.py:76-132:
+``python main.py --config ... --mode train|infer``) and what the docs tell
+users to run; it also guards the donated-train-state jits in the drivers
+(donate_argnums breaks loudly if a stale state reference is reused).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import yaml
+
+from behavior_driven_video_synthesis_tpu.main import main
+
+# batch sizes must divide the 8-device virtual mesh set up in conftest
+
+
+def _write_cfg(tmp_path, name, cfg):
+    p = os.path.join(tmp_path, f"{name}.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return p
+
+
+def _seq_cfg(tmp_path, experiment, extra_train=None, extra_arch=None):
+    cfg = {
+        "general": {
+            "base_dir": os.path.join(str(tmp_path), "runs"),
+            "project_name": "e2e",
+            "experiment": experiment,
+            "seed": 0,
+        },
+        "data": {
+            "dataset": "synthetic",
+            "seq_length": [8, 9],
+            "n_kps": 12,
+            "n_actions": 3,
+            "n_samples": 32,
+        },
+        "architecture": {
+            "dim_hidden_b": 32,
+            "flow_mid_channels_factor": 2,
+            "n_flows": 2,
+            "flow_hidden_depth": 1,
+            "decoder_arch": "lstm",
+        },
+        "training": {
+            "batch_size": 8,
+            "n_epochs": 2,
+            "lr_init": 1e-4,
+            "flow_lr": 1e-6,
+            "information_max": 10,
+            "gamma_init": 0.0,
+            "gamma_step": 1e-5,
+            "use_regressor": True,
+            "weight_regressor": 0.01,
+        },
+        "logging": {"n_epoch_eval": 10, "metrics_every": 1},
+    }
+    if extra_train:
+        cfg["training"].update(extra_train)
+    if extra_arch:
+        cfg["architecture"].update(extra_arch)
+    return _write_cfg(tmp_path, experiment, cfg)
+
+
+def test_behavior_net_cli_train(tmp_path):
+    """Both stages — behavior cVAE epochs then the flow stage — run through
+    the CLI and leave checkpoints behind."""
+    cfg = _seq_cfg(tmp_path, "behavior_net")
+    main(["--config", cfg, "--debug"])
+    ckpt_root = os.path.join(str(tmp_path), "runs", "behavior_net", "ckpt",
+                             "debug")
+    assert os.path.isdir(os.path.join(ckpt_root, "reg_ckpt"))
+    assert os.path.isdir(os.path.join(ckpt_root, "flow_ckpt"))
+
+
+def test_mtvae_cli_train_and_infer(tmp_path):
+    """MTVAE trains, then the inference protocol (APD/ADE/FDE + self-recon
+    MSE + cross ADE_c/FDE_c, reference lib/logging_mtvae.py:36-) runs off
+    the saved checkpoint, with the eval filmstrips written."""
+    cfg = _seq_cfg(tmp_path, "mtvae", extra_train={"n_cond": 3})
+    main(["--config", cfg, "--debug"])
+    main(["--config", cfg, "--debug", "--restart", "--mode", "infer",
+          "--visualization"])
+    gen = os.path.join(str(tmp_path), "runs", "mtvae", "generated", "debug")
+    pngs = [f for f in os.listdir(gen) if f.startswith("mtvae_eval")]
+    assert pngs, "expected mtvae eval filmstrip PNGs"
+
+
+def test_cvbae_cli_train(tmp_path):
+    """The VUNet cvbae image experiment trains through the CLI on the
+    synthetic image fixture (debug caps at 8 iterations)."""
+    cfg = {
+        "general": {
+            "base_dir": os.path.join(str(tmp_path), "runs"),
+            "project_name": "e2e",
+            "experiment": "cvbae",
+            "seed": 0,
+        },
+        "data": {
+            "dataset": "synthetic_images",
+            "spatial_size": 32,
+            "box_factor": 1,
+            "bottleneck_factor": 2,
+            "inplane_normalize": False,
+            "n_persons": 4,
+            "frames_per_person": 4,
+        },
+        "architecture": {
+            "n_latent_scales": 2,
+            "nf_start": 4,
+            "nf_max": 8,
+            "subpixel_upsampling": True,
+            "n_scales": 0,
+            "n_rnb": 2,
+            "n_linear": 1,
+        },
+        "training": {
+            "batch_size": 8,
+            "lr": 5e-4,
+            "adam_betas": [0.5, 0.9],
+            "end_iteration": 4,
+            "information_max": 10,
+            "gamma_step": 1e-5,
+            "train_regressor": False,
+            "bf16": False,
+            "dropout_prob": 0.0,
+        },
+        "metrics": {"n_it_metrics": 1000},
+        "logging": {"log_steps": 1000, "ckpt_steps": 1000,
+                    "metrics_every": 1},
+    }
+    p = _write_cfg(tmp_path, "cvbae", cfg)
+    main(["--config", p, "--debug"])
+    ckpt_root = os.path.join(str(tmp_path), "runs", "cvbae", "ckpt",
+                             "debug", "reg_ckpt")
+    assert os.path.isdir(ckpt_root)
+    assert any(os.scandir(ckpt_root)), "expected a saved cvbae checkpoint"
