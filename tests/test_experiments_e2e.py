@@ -91,14 +91,12 @@ def test_mtvae_cli_train_and_infer(tmp_path):
     assert pngs, "expected mtvae eval filmstrip PNGs"
 
 
-def test_cvbae_cli_train(tmp_path):
-    """The VUNet cvbae image experiment trains through the CLI on the
-    synthetic image fixture (debug caps at 8 iterations)."""
+def _image_cfg(tmp_path, experiment, inplane=False):
     cfg = {
         "general": {
             "base_dir": os.path.join(str(tmp_path), "runs"),
             "project_name": "e2e",
-            "experiment": "cvbae",
+            "experiment": experiment,
             "seed": 0,
         },
         "data": {
@@ -106,7 +104,7 @@ def test_cvbae_cli_train(tmp_path):
             "spatial_size": 32,
             "box_factor": 1,
             "bottleneck_factor": 2,
-            "inplane_normalize": False,
+            "inplane_normalize": inplane,
             "n_persons": 4,
             "frames_per_person": 4,
         },
@@ -134,9 +132,35 @@ def test_cvbae_cli_train(tmp_path):
         "logging": {"log_steps": 1000, "ckpt_steps": 1000,
                     "metrics_every": 1},
     }
-    p = _write_cfg(tmp_path, "cvbae", cfg)
-    main(["--config", p, "--debug"])
-    ckpt_root = os.path.join(str(tmp_path), "runs", "cvbae", "ckpt",
+    return _write_cfg(tmp_path, experiment, cfg)
+
+
+def _assert_ckpt(tmp_path, experiment):
+    ckpt_root = os.path.join(str(tmp_path), "runs", experiment, "ckpt",
                              "debug", "reg_ckpt")
     assert os.path.isdir(ckpt_root)
-    assert any(os.scandir(ckpt_root)), "expected a saved cvbae checkpoint"
+    assert any(os.scandir(ckpt_root)), \
+        f"expected a saved {experiment} checkpoint"
+
+
+def test_cvbae_cli_train(tmp_path):
+    """The VUNet cvbae image experiment trains through the CLI on the
+    synthetic image fixture (debug caps at 8 iterations)."""
+    main(["--config", _image_cfg(tmp_path, "cvbae"), "--debug"])
+    _assert_ckpt(tmp_path, "cvbae")
+
+
+def test_cvbae_cli_train_inplane(tmp_path):
+    """The 30-channel in-plane-normalized part-stack appearance branch
+    (reference data: inplane_normalize, VUNet n_channels_x=30) trains
+    end-to-end."""
+    main(["--config", _image_cfg(tmp_path, "cvbae", inplane=True),
+          "--debug"])
+    _assert_ckpt(tmp_path, "cvbae")
+
+
+def test_vunet_org_cli_train(tmp_path):
+    """The original-VUNet (org variant) experiment trains through the CLI
+    (reference experiments/vunet.py)."""
+    main(["--config", _image_cfg(tmp_path, "vunet"), "--debug"])
+    _assert_ckpt(tmp_path, "vunet")
