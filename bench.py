@@ -231,6 +231,57 @@ def bench_behavior():
     }))
 
 
+def bench_flow_train():
+    """Production flow-stage training step (630M-param flow, B=64, adam)
+    with donated state — reported as sequences/sec (reference flow stage,
+    experiments/behavior_net.py:704-714)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from behavior_driven_video_synthesis_tpu.models.flows import (
+        LatentFlow, flow_loss,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    HID = 1024
+    flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
+                      n_flows=15)
+    key = jax.random.PRNGKey(0)
+    b = jax.random.normal(key, (B, HID))
+    fv = flow.init({"params": key}, b)
+    tx = optax.adam(1e-4)
+    opt = tx.init(fv["params"])
+    buffers = fv["buffers"]
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt, b):
+        def loss_fn(p):
+            z, logdet = flow.apply({"params": p, "buffers": buffers}, b)
+            return flow_loss(z, logdet)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    params = fv["params"]
+    params, opt, loss = step(params, opt, b)
+    float(loss)  # force compile + first step
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt, loss = step(params, opt, b)
+    float(loss)
+    dt = time.perf_counter() - t0
+    sps = B * n_iters / dt
+    print(json.dumps({
+        "metric": "flow_train_rate_630M",
+        "value": round(sps, 2),
+        "unit": "sequences/sec/chip",
+        "vs_baseline": round((n_iters / dt) / 0.03, 2),  # pre-donation rate
+    }))
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "pipeline")
     if mode == "pipeline":
@@ -239,6 +290,8 @@ def main():
         return bench_cvbae_train()
     if mode == "behavior":
         return bench_behavior()
+    if mode == "flowtrain":
+        return bench_flow_train()
     import jax
     import jax.numpy as jnp
     from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
