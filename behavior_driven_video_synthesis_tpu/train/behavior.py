@@ -204,6 +204,9 @@ def make_behavior_train_step(
         )
         metrics = {
             "loss": aux["loss"],
+            # global grad-norm of the cVAE net (the reference's wandb.watch
+            # gradient telemetry, experiments/behavior_net.py:337)
+            "grad_norm": optax.global_norm(net_grads),
             "loss_recon": aux["recon"],
             "kl_loss": aux["kl"],
             "gamma": new_gamma,

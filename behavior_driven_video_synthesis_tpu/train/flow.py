@@ -10,6 +10,7 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import struct
 
 from ..models.flows.transformer import flow_loss, gaussian_reference_nll
@@ -57,6 +58,7 @@ def make_flow_train_step(net_model, flow_model, tx, seq_len: int) -> Callable:
         new_flow = state.flow.apply_gradients(tx, grads)
         metrics = {
             "flow_loss": loss,
+            "grad_norm": optax.global_norm(grads),
             "nlogdet_loss": -jnp.mean(logdet),
             "nll_loss": loss + jnp.mean(logdet),
             "reference_nll_loss": gaussian_reference_nll(

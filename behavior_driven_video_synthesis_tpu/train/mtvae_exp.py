@@ -10,6 +10,7 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import struct
 
 from ..core.schedules import linear_var
@@ -66,7 +67,8 @@ def make_mtvae_train_step(model, tx, config, total_steps: int) -> Callable:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.net.params)
         new_net = state.net.apply_gradients(tx, grads, enabled=enable_update)
-        metrics = {"loss": loss, "kl_weight": kl_weight, **aux}
+        metrics = {"loss": loss, "kl_weight": kl_weight,
+                   "grad_norm": optax.global_norm(grads), **aux}
         return state.replace(step=state.step + 1, net=new_net), metrics
 
     return train_step

@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import struct
 
 from ..core import schedules
@@ -163,6 +164,7 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
 
         metrics = {
             "loss": loss,
+            "grad_norm": optax.global_norm(grads),
             "likelihood_loss": aux["likelihood_loss"],
             "kl_loss": aux["kl_loss"],
             "gamma": new_gamma,
@@ -209,7 +211,8 @@ def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.vunet.params)
         new_vunet = state.vunet.apply_gradients(txs["vunet"], grads)
-        metrics = {"loss": loss, "kl_weight": kl_weight, **aux}
+        metrics = {"loss": loss, "kl_weight": kl_weight,
+                   "grad_norm": optax.global_norm(grads), **aux}
         return state.replace(step=state.step + 1, vunet=new_vunet), metrics
 
     return train_step

@@ -98,6 +98,7 @@ class TestBehaviorTraining:
         key = replicate(jax.random.PRNGKey(2), mesh)
         state2, metrics = jit_step(state, batch, key)
         assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["grad_norm"]) > 0.0  # wandb.watch equivalent
         # params stay replicated, batch metrics are scalars
         assert float(metrics["acc_classifier_action"]) >= 0.0
 

@@ -113,6 +113,7 @@ class TestCvbaeStep:
             losses.append(float(metrics["likelihood_loss"]))
         assert losses[-1] < losses[0], (losses[0], losses[-1])
         assert np.isfinite(float(metrics["kl_loss"]))
+        assert float(metrics["grad_norm"]) > 0.0
         assert float(metrics["loss_reg"]) >= 0.0
 
     def test_org_vunet_step(self, vgg, rng):
