@@ -382,6 +382,7 @@ class BehaviorNetExperiment(Experiment):
         if restored is None:
             raise FileNotFoundError("no behavior checkpoint to evaluate")
         state, _ = restored
+        state = self.place(state)  # replicate over the mesh (batches shard)
 
         flow_model = self._build_flow()
         flow_variables = None
@@ -391,6 +392,7 @@ class BehaviorNetExperiment(Experiment):
         frestored = self.ckpt_manager("flow_ckpt").restore_latest(ftemplate)
         if frestored is not None:
             fstate, _ = frestored
+            fstate = self.place(fstate)
             flow_variables = {"params": fstate.flow.params,
                               "buffers": fstate.flow.buffers}
 

@@ -67,15 +67,29 @@ def _seq_cfg(tmp_path, experiment, extra_train=None, extra_arch=None):
     return _write_cfg(tmp_path, experiment, cfg)
 
 
-def test_behavior_net_cli_train(tmp_path):
+def test_behavior_net_cli_train_and_infer(tmp_path):
     """Both stages — behavior cVAE epochs then the flow stage — run through
-    the CLI and leave checkpoints behind."""
+    the CLI and leave checkpoints behind; the quantitative inference
+    protocol (ADE/FDE/ASD/FSD/APD prior+flow, ADE_c/FDE_c, mu consistency,
+    KS, post-hoc classifiers, CF scores) then runs off those checkpoints
+    (reference behavior_net.py:1021-1522)."""
     cfg = _seq_cfg(tmp_path, "behavior_net")
     main(["--config", cfg, "--debug"])
     ckpt_root = os.path.join(str(tmp_path), "runs", "behavior_net", "ckpt",
                              "debug")
     assert os.path.isdir(os.path.join(ckpt_root, "reg_ckpt"))
     assert os.path.isdir(os.path.join(ckpt_root, "flow_ckpt"))
+    main(["--config", cfg, "--debug", "--restart", "--mode", "infer"])
+    import json
+    log = os.path.join(str(tmp_path), "runs", "behavior_net", "log",
+                       "debug", "metrics.jsonl")
+    rows = [json.loads(line) for line in open(log)]
+    infer = [r for r in rows if any(k.startswith("infer/") for k in r)]
+    assert infer, "expected infer/ metrics logged"
+    keys = set(infer[-1])
+    for k in ("infer/recon_mse", "infer/ADE_prior", "infer/ADE_flow",
+              "infer/ADE_c", "infer/CF_cross"):
+        assert k in keys, f"missing {k} in inference summary"
 
 
 def test_mtvae_cli_train_and_infer(tmp_path):
