@@ -157,11 +157,28 @@ def _assert_ckpt(tmp_path, experiment):
         f"expected a saved {experiment} checkpoint"
 
 
-def test_cvbae_cli_train(tmp_path):
+def test_cvbae_cli_train_and_infer(tmp_path):
     """The VUNet cvbae image experiment trains through the CLI on the
-    synthetic image fixture (debug caps at 8 iterations)."""
-    main(["--config", _image_cfg(tmp_path, "cvbae"), "--debug"])
+    synthetic image fixture (debug caps at 8 iterations), then the SSIM +
+    Inception-Score inference protocol runs off the checkpoint
+    (reference shape_and_pose_net.py:666-773, 791-995)."""
+    cfg = _image_cfg(tmp_path, "cvbae")
+    main(["--config", cfg, "--debug"])
     _assert_ckpt(tmp_path, "cvbae")
+    import yaml as _yaml
+    with open(cfg) as f:
+        c = _yaml.safe_load(f)
+    c["metrics"]["compute_is"] = True
+    with open(cfg, "w") as f:
+        _yaml.safe_dump(c, f)
+    main(["--config", cfg, "--debug", "--mode", "infer"])
+    import json
+    log = os.path.join(str(tmp_path), "runs", "cvbae", "log", "debug",
+                       "metrics.jsonl")
+    rows = [json.loads(line) for line in open(log)]
+    evals = [r for r in rows if "eval/ssim" in r]
+    assert evals and 0.0 <= evals[-1]["eval/ssim"] <= 1.0
+    assert "eval/is_recon" in evals[-1]
 
 
 def test_cvbae_cli_train_inplane(tmp_path):
@@ -171,6 +188,35 @@ def test_cvbae_cli_train_inplane(tmp_path):
     main(["--config", _image_cfg(tmp_path, "cvbae", inplane=True),
           "--debug"])
     _assert_ckpt(tmp_path, "cvbae")
+
+
+def test_behavior_net_cli_h36m_synthetic(tmp_path):
+    """behavior_net trains through the full Human3.6M dataset machinery
+    (column store, SequenceSampler, threaded Loader, normalization stats)
+    using the file-less h36m_synthetic columns — the same code path as
+    real annot_export.h5 data (reference data/human36m.py)."""
+    cfg_path = _seq_cfg(tmp_path, "behavior_net")
+    import yaml as _yaml
+    with open(cfg_path) as f:
+        c = _yaml.safe_load(f)
+    c["data"].update({
+        "dataset": "h36m_synthetic",
+        "n_frames_per_video": 24,
+        "seq_length": [8, 9],
+        "sequential_frame_lag": 1,
+        "use_person_split": True,
+        "small_joint_model": False,
+        "keypoint_type": "keypoints_3d_world",
+        "label_type": "action",
+        "n_data_workers": 2,
+    })
+    c["training"]["batch_size"] = 8
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(c, f)
+    main(["--config", cfg_path, "--debug"])
+    ckpt_root = os.path.join(str(tmp_path), "runs", "behavior_net", "ckpt",
+                             "debug")
+    assert os.path.isdir(os.path.join(ckpt_root, "reg_ckpt"))
 
 
 def test_vunet_org_cli_train(tmp_path):
