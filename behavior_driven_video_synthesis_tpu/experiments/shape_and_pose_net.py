@@ -240,21 +240,24 @@ class ShapePoseExperiment(Experiment):
 
     def _eval_ssim(self, vunet, state, step, ks, max_batches: int = 4):
         """SSIM on reconstructions; optionally Inception Score on recon +
-        transfer sets (reference shape_and_pose_net.py:666-773).  IS needs
+        transfer sets (reference shape_and_pose_net.py:666-773) and FID vs
+        disk-cached GT inception features (reference vunet.py:534-638 +
+        lib/metrics.py:119-281, metrics.compute_fid).  IS/FID need
         converted inception weights (metrics.inception_weights_path) to be
         literature-comparable."""
         loader, _ = self._build_data("test")
         vals = []
-        compute_is = bool(self.config.get("metrics", {}).get(
-            "compute_is", False))
+        mcfg = self.config.get("metrics", {})
+        compute_is = bool(mcfg.get("compute_is", False))
+        compute_fid = bool(mcfg.get("compute_fid", False))
         recon_logits, transfer_logits = [], []
+        recon_feats, gt_feats = [], []
 
-        if compute_is:
+        if compute_is or compute_fid:
             from ..models.inception import InceptionV3Features
 
             incep = InceptionV3Features(with_logits=True)
-            iw = self.config.get("metrics", {}).get(
-                "inception_weights_path")
+            iw = mcfg.get("inception_weights_path")
             if iw:
                 import pickle
 
@@ -266,11 +269,22 @@ class ShapePoseExperiment(Experiment):
                     jnp.zeros((1, 128, 128, 3)))
 
             @jax.jit
-            def inception_logits(img):
+            def inception_fwd(img):
                 n, h, w, _ = img.shape
                 img = jax.image.resize(img, (n, 128, 128, 3), "bilinear")
-                _, logits = incep.apply(incep_vars, img)
-                return logits
+                feats, logits = incep.apply(incep_vars, img)
+                return feats, logits
+
+            # GT inception features are cached on disk keyed by dataset,
+            # exactly like the reference (lib/metrics.py:137-176 caches
+            # ./<dataset>-fid-features.npy)
+            fid_cache = os.path.join(
+                self.dirs["ckpt"],
+                f"{self.config.data.get('dataset', 'data')}"
+                "-fid-features.npy")
+            have_gt_cache = compute_fid and os.path.exists(fid_cache)
+            if have_gt_cache:
+                gt_feats = [np.load(fid_cache)]
 
         @jax.jit
         def recon(params, app, stick, key):
@@ -291,13 +305,19 @@ class ShapePoseExperiment(Experiment):
             v = ssim_fn((out.astype(jnp.float32) + 1) / 2,
                         (target + 1) / 2)
             vals.append(np.asarray(v))
-            if compute_is:
-                recon_logits.append(np.asarray(
-                    inception_logits(out.astype(jnp.float32))))
-                tr = prior_sample(state.vunet.params,
-                                  jnp.asarray(batch["stickman"]), ks())
-                transfer_logits.append(np.asarray(
-                    inception_logits(tr.astype(jnp.float32))))
+            if compute_is or compute_fid:
+                feats, logits = inception_fwd(out.astype(jnp.float32))
+                if compute_fid:
+                    recon_feats.append(np.asarray(feats))
+                    if not have_gt_cache:
+                        gfeats, _ = inception_fwd(target.astype(jnp.float32))
+                        gt_feats.append(np.asarray(gfeats))
+                if compute_is:
+                    recon_logits.append(np.asarray(logits))
+                    tr = prior_sample(state.vunet.params,
+                                      jnp.asarray(batch["stickman"]), ks())
+                    _, tlogits = inception_fwd(tr.astype(jnp.float32))
+                    transfer_logits.append(np.asarray(tlogits))
             if i + 1 >= max_batches:
                 break
         val = float(np.mean(np.concatenate(vals)))
@@ -309,6 +329,14 @@ class ShapePoseExperiment(Experiment):
                 np.concatenate(recon_logits))[0]
             metrics["is_transfer"] = inception_score_from_logits(
                 np.concatenate(transfer_logits))[0]
+        if compute_fid and recon_feats:
+            from ..metrics import fid_from_features
+
+            gt = np.concatenate(gt_feats)
+            if not have_gt_cache:
+                np.save(fid_cache, gt)
+            metrics["fid"] = float(fid_from_features(
+                np.concatenate(recon_feats), gt))
         self.logger.log(metrics, step, prefix="eval/")
         return val
 

@@ -219,8 +219,29 @@ def test_behavior_net_cli_h36m_synthetic(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_root, "reg_ckpt"))
 
 
-def test_vunet_org_cli_train(tmp_path):
-    """The original-VUNet (org variant) experiment trains through the CLI
-    (reference experiments/vunet.py)."""
-    main(["--config", _image_cfg(tmp_path, "vunet"), "--debug"])
+def test_vunet_org_cli_train_and_fid(tmp_path):
+    """The original-VUNet (org variant) experiment trains through the CLI,
+    then the FID eval runs with the reference's GT-inception-feature disk
+    cache (reference experiments/vunet.py:534-638)."""
+    cfg = _image_cfg(tmp_path, "vunet")
+    main(["--config", cfg, "--debug"])
     _assert_ckpt(tmp_path, "vunet")
+    import glob
+    import json
+
+    import yaml as _yaml
+    with open(cfg) as f:
+        c = _yaml.safe_load(f)
+    c["metrics"]["compute_fid"] = True
+    with open(cfg, "w") as f:
+        _yaml.safe_dump(c, f)
+    main(["--config", cfg, "--debug", "--mode", "infer"])
+    cache = glob.glob(os.path.join(str(tmp_path), "runs", "vunet", "ckpt",
+                                   "debug", "*-fid-features.npy"))
+    assert cache, "expected the GT inception feature cache on disk"
+    main(["--config", cfg, "--debug", "--mode", "infer"])  # cache hit path
+    log = os.path.join(str(tmp_path), "runs", "vunet", "log", "debug",
+                       "metrics.jsonl")
+    rows = [json.loads(line) for line in open(log)]
+    fids = [r["eval/fid"] for r in rows if "eval/fid" in r]
+    assert len(fids) >= 2 and all(np.isfinite(f) for f in fids)
