@@ -358,7 +358,99 @@ class ShapePoseExperiment(Experiment):
         state, _ = restored
         val = self._eval_ssim(vunet, state, 0, ks, max_batches=16)
         print(f"inference SSIM: {val:.4f}")
-        return {"ssim": val}
+        summary = {"ssim": val}
+        if bool(cfg.get("metrics", {}).get("posthoc_regressor", True)):
+            summary.update(self._posthoc_latent_regressor(vunet, state, ks))
+        self.logger.log(summary, 0, prefix="infer/")
+        return summary
+
+    def _posthoc_latent_regressor(self, vunet, state, ks):
+        """Train a fresh pose regressor from the frozen shape latents on the
+        test set and plot its loss curve — the disentanglement probe of the
+        reference's inference protocol (shape_and_pose_net.py:913-998:
+        20-epoch Adam(1e-3) regressor on posterior means, loss plot saved
+        as generated/loss_course_eval.png)."""
+        cfg = self.config
+        loader, ds = self._build_data("test")
+        spatial = int(cfg.data.get("spatial_size", 64))
+        arch = cfg.architecture
+        n_scales = compute_n_scales(spatial,
+                                    int(cfg.data.get("bottleneck_factor",
+                                                     2)),
+                                    int(arch.get("n_scales", 0)))
+        bottleneck = spatial // 2 ** (n_scales - 1)
+        latent_widths = [bottleneck * 2 ** i
+                         for i in range(int(arch.get("n_latent_scales", 2)))]
+
+        def kps_for(batch):
+            if "keypoints" in batch:
+                return np.asarray(batch["keypoints"], np.float32)
+            sample_ids = np.asarray(batch["sample_ids"])
+            kps = getattr(ds, "norm_keypoints", None)
+            if kps is None:
+                kps = ds.datadict["norm_keypoints"]
+            return np.asarray(kps[sample_ids], np.float32)
+
+        first = next(iter(loader))
+        tgt0 = kps_for(first).reshape(len(first["pose_img"]), -1)
+        regressor = VunetRegressor(
+            n_out=tgt0.shape[-1], latent_widths=latent_widths,
+            nf_max=int(arch.get("nf_max", 128)),
+            linear_width_factor=int(arch.get("linear_width_factor", 1)),
+            n_linear=int(arch.get("n_linear", 2)))
+
+        @jax.jit
+        def encode(params, img, key):
+            means, _ = vunet.apply({"params": params}, img,
+                                   rngs={"sample": key},
+                                   method=vunet.encode_means)
+            return jax.lax.stop_gradient(means)
+
+        means0 = encode(state.vunet.params, jnp.asarray(first["pose_img"]),
+                        ks())
+        rparams = regressor.init(ks(), means0)["params"]
+        rtx = optax.adam(1e-3)
+        ropt = rtx.init(rparams)
+
+        @jax.jit
+        def rstep(rparams, ropt, means, tgt):
+            def loss_fn(p):
+                preds = regressor.apply({"params": p}, means)
+                return jnp.mean(jnp.sqrt(
+                    jnp.sum((preds - tgt) ** 2, axis=1) + 1e-12))
+
+            loss, grads = jax.value_and_grad(loss_fn)(rparams)
+            updates, ropt = rtx.update(grads, ropt, rparams)
+            return optax.apply_updates(rparams, updates), ropt, loss
+
+        n_epochs = 2 if self.debug else 20
+        losses = []
+        for _ in range(n_epochs):
+            for batch in loader:
+                tgt = jnp.asarray(kps_for(batch).reshape(
+                    len(batch["pose_img"]), -1))
+                means = encode(state.vunet.params,
+                               jnp.asarray(batch["pose_img"]), ks())
+                rparams, ropt, loss = rstep(rparams, ropt, means, tgt)
+                losses.append(float(loss))
+
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.plot(np.arange(len(losses)), losses)
+            plt.xlabel("Train iterations")
+            plt.ylabel("Loss")
+            plt.title("Loss of regressor from shape latents to pose.")
+            out = os.path.join(self.dirs.get("generated", "./generated"),
+                               "loss_course_eval.png")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            plt.savefig(out)
+            plt.close()
+        except Exception as e:  # noqa: BLE001 — plotting must not kill eval
+            print(f"regressor loss plot skipped: {e}")
+        return {"loss_regressor_posthoc": float(np.mean(losses[-100:]))}
 
 
 class VunetExperiment(ShapePoseExperiment):

@@ -179,6 +179,12 @@ def test_cvbae_cli_train_and_infer(tmp_path):
     evals = [r for r in rows if "eval/ssim" in r]
     assert evals and 0.0 <= evals[-1]["eval/ssim"] <= 1.0
     assert "eval/is_recon" in evals[-1]
+    # post-hoc latent->pose regressor probe + its loss plot
+    infer = [r for r in rows if "infer/loss_regressor_posthoc" in r]
+    assert infer and np.isfinite(infer[-1]["infer/loss_regressor_posthoc"])
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "runs", "cvbae", "generated", "debug",
+        "loss_course_eval.png"))
 
 
 def test_cvbae_cli_train_inplane(tmp_path):
