@@ -25,6 +25,7 @@ from ..data.synthetic_images import SyntheticImageDataset
 from ..metrics import ssim as ssim_fn
 from ..models.perceptual import PerceptualVGG19, load_npz_params
 from ..models.vunet import VUNet, VunetRegressor, compute_n_scales
+from ..utils import bounding_box_batch
 from ..train.vunet_exp import (
     create_vunet_state,
     make_cvbae_train_step,
@@ -238,6 +239,21 @@ class ShapePoseExperiment(Experiment):
         cv2.imwrite(path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
         return path
 
+    @staticmethod
+    def _batch_keypoints(batch, ds=None):
+        """Normalized 2D keypoints for a batch: from the batch itself when
+        fetched, else indexed from the dataset's column store."""
+        if "keypoints" in batch:
+            return np.asarray(batch["keypoints"], np.float32)
+        if ds is None or "sample_ids" not in batch:
+            return None
+        kps = getattr(ds, "norm_keypoints", None)
+        if kps is None:
+            kps = getattr(ds, "datadict", {}).get("norm_keypoints")
+        if kps is None:
+            return None
+        return np.asarray(kps[np.asarray(batch["sample_ids"])], np.float32)
+
     def _eval_ssim(self, vunet, state, step, ks, max_batches: int = 4):
         """SSIM on reconstructions; optionally Inception Score on recon +
         transfer sets (reference shape_and_pose_net.py:666-773) and FID vs
@@ -245,7 +261,7 @@ class ShapePoseExperiment(Experiment):
         lib/metrics.py:119-281, metrics.compute_fid).  IS/FID need
         converted inception weights (metrics.inception_weights_path) to be
         literature-comparable."""
-        loader, _ = self._build_data("test")
+        loader, ds = self._build_data("test")
         vals = []
         mcfg = self.config.get("metrics", {})
         compute_is = bool(mcfg.get("compute_is", False))
@@ -298,6 +314,21 @@ class ShapePoseExperiment(Experiment):
                                rngs={"sample": key},
                                method=vunet.test_forward)
 
+        # the reference's inference IS runs on keypoint bounding-box crops
+        # ("masks", shape_and_pose_net.py:887-919) so background pixels
+        # don't dominate the score; enabled when keypoints are available
+        is_on_crops = bool(mcfg.get("is_on_crops", True))
+        spatial = int(self.config.data.get("spatial_size", 64))
+
+        def crop(img, batch):
+            if not is_on_crops:
+                return img
+            kps = self._batch_keypoints(batch, ds)
+            if kps is None:
+                return img
+            return bounding_box_batch(jnp.asarray(kps) * spatial, img,
+                                      spatial)
+
         for i, batch in enumerate(loader):
             out = recon(state.vunet.params, jnp.asarray(batch["app_img"]),
                         jnp.asarray(batch["stickman"]), ks())
@@ -306,17 +337,20 @@ class ShapePoseExperiment(Experiment):
                         (target + 1) / 2)
             vals.append(np.asarray(v))
             if compute_is or compute_fid:
-                feats, logits = inception_fwd(out.astype(jnp.float32))
+                out_c = crop(out.astype(jnp.float32), batch)
+                feats, logits = inception_fwd(out_c)
                 if compute_fid:
                     recon_feats.append(np.asarray(feats))
                     if not have_gt_cache:
-                        gfeats, _ = inception_fwd(target.astype(jnp.float32))
+                        gfeats, _ = inception_fwd(
+                            crop(target.astype(jnp.float32), batch))
                         gt_feats.append(np.asarray(gfeats))
                 if compute_is:
                     recon_logits.append(np.asarray(logits))
                     tr = prior_sample(state.vunet.params,
                                       jnp.asarray(batch["stickman"]), ks())
-                    _, tlogits = inception_fwd(tr.astype(jnp.float32))
+                    _, tlogits = inception_fwd(
+                        crop(tr.astype(jnp.float32), batch))
                     transfer_logits.append(np.asarray(tlogits))
             if i + 1 >= max_batches:
                 break
@@ -383,13 +417,7 @@ class ShapePoseExperiment(Experiment):
                          for i in range(int(arch.get("n_latent_scales", 2)))]
 
         def kps_for(batch):
-            if "keypoints" in batch:
-                return np.asarray(batch["keypoints"], np.float32)
-            sample_ids = np.asarray(batch["sample_ids"])
-            kps = getattr(ds, "norm_keypoints", None)
-            if kps is None:
-                kps = ds.datadict["norm_keypoints"]
-            return np.asarray(kps[sample_ids], np.float32)
+            return self._batch_keypoints(batch, ds)
 
         first = next(iter(loader))
         tgt0 = kps_for(first).reshape(len(first["pose_img"]), -1)
