@@ -16,6 +16,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -542,4 +544,21 @@ class BehaviorNetExperiment(Experiment):
 
         out.update(action_transfer_scores(cls_apply, cat["cross"],
                                           cat["orig"], cat["labels"]))
+
+        if bool(self.config.general.get("visualization", False)):
+            # beta-space embedding colored by action (reference log_umap,
+            # lib/logging.py:1366-1436; PCA fallback without umap) and the
+            # per-sequence recon-error histogram (make_hist, :1347-1363)
+            from ..viz.embedding import make_hist, plot_embedding
+
+            out_dir = self.dirs.get("generated", "./generated")
+            os.makedirs(out_dir, exist_ok=True)
+            labels = cat["labels"]
+            if labels.ndim > 1:
+                labels = labels[:, 0]
+            plot_embedding(cat["mu"], labels,
+                           os.path.join(out_dir, "beta_embedding.png"))
+            err = np.sqrt(((cat["self"] - cat["orig"]) ** 2).sum(-1))
+            make_hist(err.mean(axis=-1),
+                      os.path.join(out_dir, "recon_error_hist.png"))
         return out

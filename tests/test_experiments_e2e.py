@@ -79,7 +79,8 @@ def test_behavior_net_cli_train_and_infer(tmp_path):
                              "debug")
     assert os.path.isdir(os.path.join(ckpt_root, "reg_ckpt"))
     assert os.path.isdir(os.path.join(ckpt_root, "flow_ckpt"))
-    main(["--config", cfg, "--debug", "--restart", "--mode", "infer"])
+    main(["--config", cfg, "--debug", "--restart", "--mode", "infer",
+          "--visualization"])
     import json
     log = os.path.join(str(tmp_path), "runs", "behavior_net", "log",
                        "debug", "metrics.jsonl")
@@ -90,6 +91,10 @@ def test_behavior_net_cli_train_and_infer(tmp_path):
     for k in ("infer/recon_mse", "infer/ADE_prior", "infer/ADE_flow",
               "infer/ADE_c", "infer/CF_cross"):
         assert k in keys, f"missing {k} in inference summary"
+    gen = os.path.join(str(tmp_path), "runs", "behavior_net", "generated",
+                       "debug")
+    for png in ("beta_embedding.png", "recon_error_hist.png"):
+        assert os.path.exists(os.path.join(gen, png)), f"missing {png}"
 
 
 def test_mtvae_cli_train_and_infer(tmp_path):
