@@ -7,3 +7,4 @@ from .probes import (
     RegressorFly,
     FCResnet,
 )
+from .rim import RIM, RIMCell, GroupDense, GroupLSTMCell, GroupGRUCell

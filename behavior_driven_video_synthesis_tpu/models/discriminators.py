@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -157,3 +158,91 @@ class MIDisc(nn.Module):
                 nn.Dense(self.hidden_dim, dtype=self.dtype,
                          param_dtype=jnp.float32)(h), 0.2)
         return nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(h)
+
+
+class MIDiscConv(nn.Module):
+    """1x1-conv MI discriminator over flat latents (reference
+    models/pose_discriminator.py:32-59 `MIDiscConv1`): an L2NormConv
+    feature extractor of VunetRNB blocks + a LeakyReLU/conv classifier.
+    Kernel-1 convs on (B, 1, 1, C) maps are Dense layers on TPU — the
+    residual blocks are kept so converted checkpoints map one-to-one."""
+
+    n_layers: int = 2
+    hidden_dim: int = 256
+    dropout_prob: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from ..ops.nn import L2NormConv2d, VunetRNB
+        if x.ndim != 4:
+            x = x.reshape(x.shape[0], 1, 1, -1)
+        h = L2NormConv2d(self.hidden_dim, kernel_size=1, dtype=self.dtype)(x)
+        for _ in range(self.n_layers):
+            h = VunetRNB(self.hidden_dim, kernel_size=1,
+                         conv_layer=L2NormConv2d,
+                         dropout_prob=self.dropout_prob,
+                         dtype=self.dtype)(h, train=train)
+        h = nn.leaky_relu(h, 0.2)
+        h = L2NormConv2d(self.hidden_dim, kernel_size=1, dtype=self.dtype)(h)
+        return h.reshape(x.shape[0], -1)
+
+
+class ResnetBlock2D(nn.Module):
+    """Pre-activated GroupNorm conv resblock (reference
+    models/pose_discriminator.py:414-470, unused helper)."""
+
+    n_out: int
+    n_hidden: int = 0
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        nin = x.shape[-1]
+        n_hidden = self.n_hidden or self.n_out
+        res = x
+        if nin != self.n_out or self.stride > 1:
+            res = nn.Conv(self.n_out, (self.kernel_size, self.kernel_size),
+                          strides=self.stride, padding=self.kernel_size // 2,
+                          dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=max(1, nin // 8), dtype=self.dtype)(x)
+        h = nn.Conv(n_hidden, (self.kernel_size, self.kernel_size),
+                    strides=self.stride, padding=self.kernel_size // 2,
+                    dtype=self.dtype, param_dtype=jnp.float32)(nn.relu(h))
+        h = nn.GroupNorm(num_groups=max(1, n_hidden // 8),
+                         dtype=self.dtype)(h)
+        h = nn.Conv(self.n_out, (self.kernel_size, self.kernel_size),
+                    padding=self.kernel_size // 2, dtype=self.dtype,
+                    param_dtype=jnp.float32)(nn.relu(h))
+        return h + res
+
+
+class SelfAttention2D(nn.Module):
+    """SAGAN-style self-attention with max-pooled keys/values (reference
+    models/pose_discriminator.py:473-533, unused helper).  NHWC; the
+    attention matmuls run on the MXU via einsum."""
+
+    down_factor: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        inter = C // self.down_factor
+        conv = lambda c, name: nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        f = conv(inter, "Wf")(x).reshape(B, H * W, inter)
+        g = conv(inter, "Wg")(x)
+        g = nn.max_pool(g, (2, 2), strides=(2, 2))
+        g = g.reshape(B, -1, inter)
+        h = conv(C // 2, "Wh")(x)
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = h.reshape(B, -1, C // 2)
+        attn = jax.nn.softmax(jnp.einsum("bqc,bkc->bqk", f, g), axis=-1)
+        v = jnp.einsum("bqk,bkc->bqc", attn, h).reshape(B, H, W, C // 2)
+        v = conv(C, "Wv")(v)
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, 1))
+        return x + beta * v

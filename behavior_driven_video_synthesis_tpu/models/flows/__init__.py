@@ -17,3 +17,4 @@ from .spline import RQSCoupling, rational_quadratic_spline
 from .transformer import LatentFlow, flow_loss, gaussian_reference_nll
 
 COUPLING_TYPES["rqs"] = RQSCoupling
+from .concat import ConditionalTransformer, DenseEmbedder, Embedder

@@ -320,3 +320,90 @@ class FullyConnectedNet(nn.Module):
         if self.use_tanh:
             h = jnp.tanh(h)
         return h
+
+
+class BasicUnConnectedNet(nn.Module):
+    """Per-dimension MLP: every input scalar runs through the same
+    1-in/`factor`-out LeakyReLU net independently (the reference builds this
+    from kernel-1 Conv1d layers, lib/modules.py:614-643).  Output layout is
+    factor-major — out[b, f*dim + d] — matching the reference's
+    (B, factor, dim) reshape.
+
+    On TPU the per-scalar net is a batched matmul over B*dim rows, which XLA
+    tiles onto the MXU directly; no conv machinery needed.
+    """
+
+    dim: int
+    depth: int
+    hidden_dim: int = 256
+    use_tanh: bool = False
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.ndim == 2
+        out_dim = self.dim if self.out_dim is None else self.out_dim
+        assert out_dim % self.dim == 0
+        factor = out_dim // self.dim
+        h = x[..., None]                       # (B, dim, 1)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(h)
+        h = nn.leaky_relu(h)
+        for _ in range(self.depth):
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32)(h)
+            h = nn.leaky_relu(h)
+        h = nn.Dense(factor, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        if self.use_tanh:
+            h = jnp.tanh(h)
+        h = jnp.swapaxes(h, 1, 2)              # (B, factor, dim)
+        return h.reshape(x.shape[0], out_dim)
+
+
+class FeatureLayer(nn.Module):
+    """One encoder scale: 4x4/stride-2 conv (no bias) + per-channel affine
+    norm + LeakyReLU(0.2) (reference lib/modules.py:646-676).
+
+    Channel algebra preserved: out = wm * 64 * min(2**scale, 16).  The
+    reference's 'AN' norm is ActNorm with data-dependent init; here the
+    affine is initialized from the first batch's per-channel statistics over
+    (B, H, W) via flax's param-init-on-first-call, which is the same
+    normalize-the-first-batch contract without torch's init hook.
+    """
+
+    scale: int
+    in_channels: Optional[int] = None
+    width_multiplier: float = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = int(self.width_multiplier * 64 * min(2 ** self.scale, 16))
+        h = nn.Conv(out_ch, (4, 4), strides=(2, 2), padding=1,
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        hs = jax.lax.stop_gradient(h)
+        loc = self.param(
+            "loc", lambda _k: -jnp.mean(hs, axis=(0, 1, 2)))
+        scale = self.param(
+            "scale",
+            lambda _k: 1.0 / (jnp.std(hs, axis=(0, 1, 2), ddof=1) + 1e-6))
+        return nn.leaky_relu(scale * (h + loc), 0.2)
+
+
+class DenseEncoderLayer(nn.Module):
+    """Bottleneck-to-vector head: a conv whose kernel covers the whole
+    spatial extent (reference lib/modules.py:679-708) == flatten + Dense,
+    which is exactly how it is lowered here (one MXU matmul instead of a
+    degenerate full-frame conv).
+    """
+
+    out_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.out_size, dtype=self.dtype,
+                        param_dtype=jnp.float32)(h)
