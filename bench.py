@@ -43,7 +43,9 @@ def bench_pipeline():
         BehaviorTransferPipeline,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "2"))
+    # B=8 is the measured HBM-bound throughput knee on a 16G v5e chip:
+    # 2,341 f/s at B=2 -> 2,634 at B=4 -> 2,691 at B=8; B=16 OOMs (23G).
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     S = int(os.environ.get("BENCH_SPATIAL", "256"))
     T = int(os.environ.get("BENCH_LENGTH", "50"))
     HID, K_FULL, K_USE = 1024, 51, 48
