@@ -5,5 +5,7 @@ from .videos import (
     make_enrollment_strip,
     make_eval_grid,
     create_video_3d,
+    text_to_vid,
+    add_joints_to_img,
 )
 from .latent import slerp, latent_interpolate

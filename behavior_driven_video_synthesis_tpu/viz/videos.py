@@ -127,3 +127,29 @@ def create_video_3d(poses: np.ndarray, out_path: Optional[str] = None,
     if out_path is not None:
         write_video(frames, out_path, fps=fps)
     return frames
+
+
+def text_to_vid(vid: np.ndarray, text: str, org: tuple,
+                font_size: float = 0.7, font_thickness: int = 2):
+    """Burn `text` into every frame at pixel coords `org` in place
+    (reference lib/utils.py:889-911)."""
+    assert cv2 is not None
+    for k in range(vid.shape[0]):
+        vid[k] = cv2.putText(vid[k], text, org, cv2.FONT_HERSHEY_SIMPLEX,
+                             font_size, (0, 0, 0), font_thickness)
+    return vid
+
+
+def add_joints_to_img(img: np.ndarray, kps: np.ndarray, joints,
+                      color_joints=((0, 0, 255),)):
+    """Draw limb lines between keypoint pairs onto the image
+    (reference lib/utils.py:733-751)."""
+    assert cv2 is not None
+    color_joints = list(color_joints)
+    if len(color_joints) == 1:
+        color_joints = [color_joints[0]] * len(joints)
+    for i, jo in enumerate(joints):
+        img = cv2.line(img, (int(kps[jo[0], 0]), int(kps[jo[0], 1])),
+                       (int(kps[jo[1], 0]), int(kps[jo[1], 1])),
+                       color=color_joints[i], thickness=3)
+    return img

@@ -138,3 +138,20 @@ class TestVisualizeTransfer:
         idx, dist = nearest_neighbours(db[:3], db, k=4)
         # each query's nearest neighbour is itself
         np.testing.assert_array_equal(idx[:, 0], np.arange(3))
+
+
+def test_text_to_vid_and_add_joints():
+    """Small cv2 overlay helpers (reference lib/utils.py:733-751,889-911)."""
+    import numpy as np
+    from behavior_driven_video_synthesis_tpu.viz import (
+        add_joints_to_img,
+        text_to_vid,
+    )
+    vid = np.full((3, 64, 64, 3), 255, np.uint8)
+    out = text_to_vid(vid, "hi", (5, 30))
+    assert out.shape == vid.shape and out.min() < 255  # text drew black
+    img = np.zeros((64, 64, 3), np.uint8)
+    kps = np.array([[10, 10], [50, 50], [50, 10]])
+    img = add_joints_to_img(img, kps, [(0, 1), (1, 2)],
+                            color_joints=[(0, 0, 255)])
+    assert img.max() == 255  # line drew
