@@ -37,7 +37,8 @@ class BehaviorTransferPipeline:
                  spatial_size: int = 256,
                  stickman_thickness: float = 5.0,
                  flow_model=None,
-                 use_pallas_rollout: bool = True):
+                 use_pallas_rollout: bool = True,
+                 vunet_chunk: int = 128):
         self.behavior_model = behavior_model
         self.vunet = vunet
         self.flow_model = flow_model
@@ -57,6 +58,21 @@ class BehaviorTransferPipeline:
         self.norm_std = jnp.asarray(norm_std)
         self.dim_to_use = jnp.asarray(np.asarray(dim_to_use))
         self.full_dim = int(norm_mean.shape[0])
+        # B*T frames above this size run through the VUNet in lax.map
+        # chunks: one giant batch spills HBM (activations at the 256^2
+        # scales are ~4 MB/frame/tensor) and measures ~20% slower per
+        # frame than ~128-frame chunks
+        self.vunet_chunk = int(vunet_chunk)
+
+    def _chunk_size(self, n: int) -> int:
+        """Largest divisor of n not exceeding vunet_chunk (n itself when it
+        already fits)."""
+        if n <= self.vunet_chunk:
+            return n
+        for cs in range(self.vunet_chunk, 0, -1):
+            if n % cs == 0:
+                return cs
+        return n  # pragma: no cover
 
     # -- stages (all pure, called inside jit) -------------------------------
     def _unnormalize(self, flat):
@@ -119,7 +135,9 @@ class BehaviorTransferPipeline:
 
         stick = render_stickman(px, self.joint_model, self.spatial_size,
                                 thickness=self.thickness)     # (B,T,S,S,3)
-        stick = stick / 127.5 - 1.0
+        # bf16 from here on: the VUNet computes in bf16 anyway, and at
+        # B*T frames this tensor is the pipeline's largest intermediate
+        stick = (stick / 127.5 - 1.0).astype(jnp.bfloat16)
 
         flat_stick = stick.reshape((B * length,) + stick.shape[2:])
         # appearance is fixed per video: encode ONCE (B), tile the posterior
@@ -128,9 +146,27 @@ class BehaviorTransferPipeline:
             {"params": params["vunet"]}, app_img, rngs={"sample": key},
             method=self.vunet.encode_means)
         means_tiled = [jnp.repeat(m, length, axis=0) for m in means]
-        frames = self.vunet.apply(
-            {"params": params["vunet"]}, means_tiled, flat_stick,
-            method=self.vunet.transfer_cached)
+
+        n = B * length
+        cs = self._chunk_size(n)
+        if cs == n:
+            frames = self.vunet.apply(
+                {"params": params["vunet"]}, means_tiled, flat_stick,
+                method=self.vunet.transfer_cached)
+        else:
+            vp = params["vunet"]
+
+            def synth_chunk(args):
+                m_c, s_c = args
+                return self.vunet.apply({"params": vp}, list(m_c), s_c,
+                                        method=self.vunet.transfer_cached)
+
+            m_chunked = tuple(
+                m.reshape((n // cs, cs) + m.shape[1:]) for m in means_tiled)
+            s_chunked = flat_stick.reshape((n // cs, cs)
+                                           + flat_stick.shape[1:])
+            frames = jax.lax.map(synth_chunk, (m_chunked, s_chunked))
+            frames = frames.reshape((n,) + frames.shape[2:])
         frames = frames.reshape((B, length) + frames.shape[1:])
         return {"frames": frames, "stickman": stick, "poses_3d": world,
                 "keypoints_2d": px}

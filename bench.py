@@ -72,7 +72,9 @@ def bench_pipeline():
 
     pipe = BehaviorTransferPipeline(behavior, vunet, jm, mean, std,
                                     dim_to_use, spatial_size=S,
-                                    flow_model=flow)
+                                    flow_model=flow,
+                                    vunet_chunk=int(os.environ.get(
+                                        "BENCH_VUNET_CHUNK", "128")))
     params = {"behavior": bp, "vunet": vp, "flow": fv}
     z = jax.random.normal(key, (B, HID))
     x_start = jnp.zeros((B, K_USE))
@@ -86,12 +88,15 @@ def bench_pipeline():
     @jax.jit
     def loop(params, z, x_start, app, extr, intr, imsize, k0):
         def body(i, carry):
-            acc, k = carry
+            acc, z, k = carry
             frames = pipe.generate(params, z, x_start, app, extr, intr,
                                    imsize, k, length=T)["frames"]
-            return (acc + jnp.sum(frames.astype(jnp.float32)),
-                    jax.random.fold_in(k, i))
-        acc, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.zeros(()), k0))
+            d = jnp.mean(frames.astype(jnp.float32)) * 1e-6
+            # feed the output back into the next iteration's input so a
+            # loop-invariant body can never be hoisted out of the timing
+            return (acc + d, z + d, jax.random.fold_in(k, i))
+        acc, _, _ = jax.lax.fori_loop(0, n_iters, body,
+                                      (jnp.zeros(()), z, k0))
         return acc
 
     args = (params, z, x_start, app, extr, intr, imsize)
@@ -298,8 +303,8 @@ def main():
     import jax.numpy as jnp
     from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
 
-    # measured throughput curve on the 16G chip: B=32 -> 1,389 f/s,
-    # B=64 -> 2,113, B=128 -> 3,324 (the knee); B=256 OOMs
+    # measured curve (honest feedback-loop timing): B=32 -> 721 f/s,
+    # B=128 -> 1,927 (the knee); B=256 OOMs
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     spatial = int(os.environ.get("BENCH_SPATIAL", "256"))
 
@@ -329,12 +334,14 @@ def main():
     @jax.jit
     def loop(variables, x, c, key):
         def body(i, carry):
-            acc, k = carry
+            acc, x, c, k = carry
             out = model.apply(variables, x, c, rngs={"sample": k},
                               method=model.transfer)
-            return (acc + jnp.sum(out.astype(jnp.float32)),
-                    jax.random.fold_in(k, i))
-        acc, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.zeros(()), key))
+            d = jnp.mean(out.astype(jnp.float32)) * 1e-6
+            # output feeds the next inputs: the body cannot be hoisted
+            return (acc + d, x + d, c + d, jax.random.fold_in(k, i))
+        acc, _, _, _ = jax.lax.fori_loop(0, n_iters, body,
+                                         (jnp.zeros(()), x, c, key))
         return acc
 
     float(loop(variables, x, c, key))  # compile + warm

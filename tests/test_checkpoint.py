@@ -64,3 +64,13 @@ class TestCheckpointManager:
         assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
                    for a, b in zip(jax.tree_util.tree_leaves(moved.params),
                                    jax.tree_util.tree_leaves(state.params)))
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver-facing multi-chip dryrun: behavior step under dp8 and
+    dp4xtp2, and the cvbae image step under dp8, on the virtual mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -72,3 +72,49 @@ def test_full_pipeline_one_jit():
                          jax.random.fold_in(key, 2), length=T)
     np.testing.assert_allclose(np.asarray(out["frames"]),
                                np.asarray(out3["frames"]), atol=0)
+
+
+def test_chunked_vunet_stage_matches_unchunked():
+    """B*T frames above vunet_chunk run through lax.map chunks; the frames
+    must be identical to the single-batch path (it is the same pure
+    function, just HBM-friendlier)."""
+    jm = detailed_joint_model(world_coords=True)
+    rng = np.random.RandomState(1)
+
+    behavior = ResidualBehaviorNet(n_kps=48, dim_hidden_b=HID)
+    vunet = VUNet(spatial_size=S, nf_start=8, nf_max=16, variant="alter")
+
+    mean = rng.randn(K_FULL).astype(np.float32)
+    std = np.abs(rng.rand(K_FULL).astype(np.float32)) + 0.5
+    dim_to_use = np.arange(K_FULL)[np.arange(K_FULL) % 17 != 0][:48]
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((B, T, 48))
+    bp = behavior.init({"params": key, "sample": key}, x, x, T)["params"]
+    app = jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32)) * 0.3
+    vp = vunet.init({"params": key, "sample": key}, app, app)["params"]
+
+    def build(chunk):
+        return BehaviorTransferPipeline(
+            behavior, vunet, jm, mean, std, dim_to_use, spatial_size=S,
+            vunet_chunk=chunk)
+
+    params = {"behavior": bp, "vunet": vp, "flow": None}
+    z = jax.random.normal(key, (B, HID))
+    x_start = jnp.asarray(rng.randn(B, 48).astype(np.float32))
+    extr = jnp.tile(jnp.asarray(np.hstack([np.eye(3), [[0], [0], [4.0]]]),
+                                jnp.float32), (B, 1, 1))
+    intr = jnp.tile(jnp.asarray([40.0, S / 2, 40.0, S / 2]), (B, 1))
+    imsize = jnp.full((B, 2), float(S))
+    args = (params, z, x_start, app, extr, intr, imsize,
+            jax.random.fold_in(key, 2))
+
+    # B*T = 12; chunk 4 -> 3 chunks, chunk 128 -> single batch
+    out_chunked = build(4).generate(*args, length=T, use_flow=False)
+    out_single = build(128).generate(*args, length=T, use_flow=False)
+    np.testing.assert_allclose(np.asarray(out_chunked["frames"]),
+                               np.asarray(out_single["frames"]),
+                               atol=1e-5)
+    # non-divisible guard: chunk 5 picks the largest divisor of 12 below it
+    assert build(5)._chunk_size(12) == 4
+    assert build(128)._chunk_size(12) == 12

@@ -76,3 +76,15 @@ def test_visualize_projection_file_backed_overlay(h36m_root, tmp_path):
     out = main(["--config", cfg, "--mode", "visualize_projection",
                 "--out", str(tmp_path / "o"), "--n_videos", "1"])
     _assert_artifacts(out)
+
+
+def test_test_synth_deepfashion(tmp_path):
+    """The non-H36M dataset branch (get_dataset + index.p fixture)."""
+    from test_file_datasets import make_index_fixture
+
+    root = make_index_fixture(str(tmp_path / "df"), n=10, size=64)
+    cfg = _cfg(tmp_path, {"dataset": "deepfashion", "datapath": root,
+                          "spatial_size": 32})
+    out = main(["--config", cfg, "--mode", "test_synth",
+                "--out", str(tmp_path / "o")])
+    _assert_artifacts(out)
