@@ -61,3 +61,44 @@ class StepTimer:
             "step_time_p95_s": float(np.percentile(arr, 95)),
             "steps_per_sec": float(1.0 / arr.mean()),
         }
+
+
+def device_op_table(trace_dir: str, runs: int = 1,
+                    device_substr: str = "TPU") -> List[Dict]:
+    """Aggregate per-op device time from a jax.profiler trace directory.
+
+    Parses the trace.json.gz the profiler writes (works through the remote
+    TPU relay, where xprof's UI is unavailable) and returns rows
+    [{"op", "us_per_run", "share"}] sorted by time, skipping the jit_*
+    umbrella events that double-count their children.
+
+    Usage:
+        with trace("/tmp/tr"):
+            for _ in range(runs): float(jnp.sum(step(...)))
+        for row in device_op_table("/tmp/tr", runs=runs)[:15]:
+            print(row)
+    """
+    import glob
+    import gzip
+    import json
+    from collections import Counter
+
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    data = json.load(gzip.open(paths[-1]))
+    pids = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = str(e["args"].get("name"))
+    agg: Counter = Counter()
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and device_substr in pids.get(e.get("pid"),
+                                                           ""):
+            if e["name"].startswith("jit_"):
+                continue
+            agg[e["name"]] += e.get("dur", 0)
+    total = sum(agg.values()) or 1
+    return [{"op": name, "us_per_run": us / runs, "share": us / total}
+            for name, us in agg.most_common()]

@@ -65,3 +65,21 @@ class TestMisc:
     def test_scale_img(self):
         out = np.asarray(scale_img(jnp.asarray([-2.0, -1.0, 0.0, 1.0, 2.0])))
         np.testing.assert_allclose(out, [0, 0, 0.5, 1, 1])
+
+
+def test_device_op_table_parses_cpu_trace(tmp_path):
+    """The trace parser aggregates per-op time from a jax.profiler capture
+    (CPU events here; device_substr selects the process)."""
+    import jax
+    import jax.numpy as jnp
+    from behavior_driven_video_synthesis_tpu.core.profiling import (
+        device_op_table,
+        trace,
+    )
+
+    with trace(str(tmp_path)):
+        x = jnp.ones((128, 128))
+        float(jnp.sum(jax.jit(lambda a: a @ a)(x)))
+    rows = device_op_table(str(tmp_path), runs=1, device_substr="")
+    assert rows and all({"op", "us_per_run", "share"} <= set(r) for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
