@@ -151,3 +151,82 @@ def test_transfer_generator_matches_oracle(model_and_sd):
                                       for m in means])
     assert np.asarray(ours).shape == img.shape == (2, S, S, 3)
     np.testing.assert_allclose(np.asarray(ours), img, atol=5e-4)
+
+
+# -- org variant: the 4-group space-to-depth autoregressive prior -----------
+
+def _space_to_depth(x, bs=2):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // bs, bs, w // bs, bs, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // bs, w // bs, bs * bs * c)
+
+
+def _dec_down_org_training(sd, gs, zs_posterior):
+    """dd (org) on posterior z — deterministic: the AR feedback consumes the
+    posterior groups (reference vunets.py:718-757)."""
+    gs, zs = list(gs), list(zs_posterior)
+    h = _conv(sd, "dd.nin", gs[-1])
+    hs, ps = [], []
+    for i in range(N_SCALES):
+        h = _rnb(sd, f"dd.blocks.{2 * i}", h, aux=gs.pop())
+        hs.append(h)
+        if i < NLAT:
+            z_post = zs.pop(0)
+            zg = np.split(_space_to_depth(z_post, 2), 4, axis=-1)
+            pre = _rnb(sd, f"dd.auto_blocks.l_{i}.0", h)
+            p_feat = _space_to_depth(pre, 2)
+            p_groups = []
+            for l in range(4):
+                p_groups.append(_conv(sd, f"dd.auto_lp.l_{i}.{l}", p_feat))
+                if l + 1 < 4:
+                    p_feat = _rnb(sd, f"dd.auto_blocks.l_{i}.{l + 1}",
+                                  p_feat, aux=zg[l])
+            ps.append(_depth_to_space(np.concatenate(p_groups, axis=-1), 2))
+            h = np.concatenate([h, z_post], axis=-1)
+            h = _conv(sd, f"dd.latent_nins.l_{i}", h)
+        h = _rnb(sd, f"dd.blocks.{2 * i + 1}", h, aux=gs.pop())
+        hs.append(h)
+        if i + 1 < N_SCALES:
+            h = _depth_to_space(_conv(sd, f"dd.ups.{i}.up", h))
+    return _conv(sd, "dd.out_conv", hs[-1]), ps
+
+
+def test_org_ar_prior_matches_oracle():
+    """The org variant's training generator — including the 4-group
+    autoregressive prior with posterior feedback — against the oracle."""
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        vunet_org_reference_state_dict,
+    )
+
+    model = VUNet(spatial_size=S, nf_start=NF0, nf_max=NFMAX,
+                  n_latent_scales=NLAT, variant="org", dtype=jnp.float32)
+    key = jr.PRNGKey(0)
+    x = jr.normal(jr.PRNGKey(1), (2, S, S, 3)) * 0.5
+    variables = model.init({"params": key, "sample": key}, x, x)
+    sd = vunet_org_reference_state_dict(
+        variables, n_scales=N_SCALES, n_scales_x=N_SCALES,
+        n_latent_scales=NLAT)
+
+    c = np.asarray(jr.normal(jr.PRNGKey(3), (2, S, S, 3))) * 0.5
+    app = jr.normal(jr.PRNGKey(4), (2, S, S, 3)) * 0.5
+
+    # posterior zs from OUR encoder (fixed key); fed identically to both
+    hs = model.apply(variables, app, method=lambda m, v: m.eu(v))
+    _, _, _, zs = model.apply(variables, hs,
+                              rngs={"sample": jr.PRNGKey(5)},
+                              method=lambda m, h: m.ed(h))
+    gs_ours = model.apply(variables, jnp.asarray(c),
+                          method=lambda m, v: m.du(v))
+    img_ours, _, ps_ours, _ = model.apply(
+        variables, gs_ours, zs, rngs={"sample": jr.PRNGKey(6)},
+        method=lambda m, g, z: m.dd(g, z, training=True))
+
+    gs = _enc_up(sd, "du", c, N_SCALES)
+    img, ps = _dec_down_org_training(
+        sd, gs, [np.asarray(z, np.float64) for z in zs])
+    # oracle runs f64, ours f32: the AR chain is the deepest path, so
+    # allow a slightly wider accumulation tolerance
+    np.testing.assert_allclose(np.asarray(img_ours), img, atol=2e-3)
+    assert len(ps_ours) == len(ps) == NLAT
+    for po, pt in zip(ps_ours, ps):
+        np.testing.assert_allclose(np.asarray(po), pt, atol=2e-3)
