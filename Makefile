@@ -1,5 +1,13 @@
 # Developer entry points.
-.PHONY: test bench native demo clean
+.PHONY: test test-fast test-e2e bench native demo clean
+
+# fast tier: unit/integration tests, no CLI e2e (see pyproject markers)
+test-fast:
+	python -m pytest tests/ -x -q -m "not e2e"
+
+# slow tier: CLI/driver end-to-end tests
+test-e2e:
+	python -m pytest tests/ -x -q -m e2e
 
 test:
 	python -m pytest tests/ -x -q

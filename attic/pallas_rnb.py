@@ -217,6 +217,10 @@ def fused_rnb(x, params: dict, *, interpret: bool = False,
     """
     B, H, W, C = x.shape
     assert LANES % C == 0 and (W * C) % LANES == 0
+    # the grid floors H // block_rows: a non-dividing tail would leave the
+    # last H % block_rows output rows unwritten (uninitialized VMEM)
+    assert H % min(block_rows, H) == 0, (
+        f"H={H} must be divisible by block_rows={block_rows}")
     shifts, M, gamma_t, shift_b = _prep_operands(params, C, W)
     scales = jnp.stack([
         jnp.asarray(gamma_t, jnp.float32),

@@ -195,13 +195,15 @@ class BaseDataset:
                 ddict["map_ids"][valid] = shuffled
 
     def _make_overall_split(self):
-        """80/20 random split at fixed seed 42 (ref :775-806)."""
+        """80/20 random split at fixed seed 42 (ref :775-806).
+
+        Dedicated RandomState: the split must be identical across processes
+        and independent of data_seed, and the global numpy RNG stays
+        untouched (explicit-RNG rule)."""
         n = len(self)
-        ids = np.arange(n)
-        np.random.seed(42)
-        np.random.shuffle(ids)
-        n_train = int(0.8 * n)
-        target = np.sort(ids[:n_train]) if False else ids[:n_train]
+        rng = np.random.RandomState(42)
+        ids = rng.permutation(n)
+        target = ids[:int(0.8 * n)]
         self.datadict = {k: v[target] for k, v in self.datadict.items()
                          if v.size != 0}
 

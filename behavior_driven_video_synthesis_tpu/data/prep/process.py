@@ -172,6 +172,12 @@ def view_annotation_rows(*, subject_id: int, action_id: int,
     """
     n = len(poses_3d_univ)
     assert len(frame_paths) == n
+    # all per-frame columns must agree on the frame count, or the h5 columns
+    # come out misaligned and the loader consumes them silently
+    if pose_2d is not None:
+        assert len(pose_2d) == n, (len(pose_2d), n)
+    if poses_3d_world is not None:
+        assert len(poses_3d_world) == n, (len(poses_3d_world), n)
     if intrinsics is None:
         assert pose_2d is not None, "need pose_2d or intrinsics"
         intrinsics = infer_camera_intrinsics(pose_2d, poses_3d_univ)

@@ -28,8 +28,8 @@ import os
 from os import path
 
 import numpy as np
-import yaml
 
+from ..core.config import load_config
 from ..geometry import (
     apply_affine_transform,
     camera_projection,
@@ -186,8 +186,9 @@ def main(argv=None):
     ap.add_argument("--n_videos", type=int, default=3)
     args = ap.parse_args(argv)
 
-    with open(args.config) as f:
-        config = yaml.unsafe_load(f)
+    # restricted loader (core.config) — a config file must not be able to
+    # construct arbitrary Python objects
+    config = load_config(args.config)
     dcfg = dict(config["data"])
     mode = args.mode or config["general"].get("mode", "default")
     name = str(dcfg.get("dataset", "h36m_synthetic")).lower()

@@ -14,7 +14,7 @@ Re-design of /root/reference/experiments/behavior_net.py (1521 LoC):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import os
 
@@ -152,6 +152,7 @@ class BehaviorNetExperiment(Experiment):
                     if bool(cfg.general.get("visualization", False)):
                         from .visualize import (
                             latent_interpolate_videos,
+                            make_behavior_startpose_grid,
                             visualize_transfer3d,
                         )
 
@@ -165,6 +166,11 @@ class BehaviorNetExperiment(Experiment):
                                 "n_vid_to_generate", 2)),
                             tag=f"e{epoch:03d}_")
                         latent_interpolate_videos(
+                            model, state.net.params, vis_batch, out_dir,
+                            ks(), seq_len=seq_len,
+                            norm_stats=meta.get("norm_stats"),
+                            tag=f"e{epoch:03d}_")
+                        make_behavior_startpose_grid(
                             model, state.net.params, vis_batch, out_dir,
                             ks(), seq_len=seq_len,
                             norm_stats=meta.get("norm_stats"),
@@ -280,14 +286,51 @@ class BehaviorNetExperiment(Experiment):
                 sizes.append(imsize)
             params = {"behavior": state.net.params,
                       "vunet": vunet_params, "flow": None}
-            return render_rgb_videos(
+            paths = render_rgb_videos(
                 pipe, params, mu, kps[:, 0], jnp.asarray(np.stack(apps)),
                 jnp.asarray(np.stack(extrs)), jnp.asarray(np.stack(intrs)),
                 jnp.asarray(np.stack(sizes)), ks(), out_dir,
                 length=meta["seq_len"], tag=tag + "rgb")
+            paths.update(self._render_paper_figures(
+                pipe, model, params, kps, np.stack(apps), np.stack(extrs),
+                np.stack(intrs), np.stack(sizes), meta, ks, out_dir))
+            return paths
         except Exception as e:  # noqa: BLE001 — rendering must not kill runs
             print(f"synth rendering skipped: {e}")
             return None
+
+    def _render_paper_figures(self, pipe, model, params, kps, apps, extrs,
+                              intrs, sizes, meta, ks, out_dir):
+        """The reference's inference-time figure suite through the compiled
+        pipeline: multi-camera enrollment (lib/figures.py:458), latent
+        interpolation eval (:687), diverse-futures single-sid (:1810)."""
+        from .visualize import (
+            latent_interpolate_eval_figures,
+            make_enrollment_figures,
+            sample_examples_single_figures,
+        )
+
+        fig_dir = os.path.join(out_dir, "figures")
+        paths = {}
+        seq_len = meta["seq_len"]
+        kps = np.asarray(kps, np.float32)
+        paths.update({f"enroll_{k}": v for k, v in make_enrollment_figures(
+            pipe, params, kps[0, :-1], kps[min(1, len(kps) - 1), 0],
+            apps, extrs, intrs, sizes, ks(), fig_dir,
+            length=seq_len).items()})
+        if len(kps) > 1:
+            paths.update({f"interp_{k}": v
+                          for k, v in latent_interpolate_eval_figures(
+                              pipe, model, params, kps[0], kps[1], apps,
+                              extrs, intrs, sizes, ks(), fig_dir,
+                              length=seq_len).items()})
+            paths.update({f"samples_{k}": v
+                          for k, v in sample_examples_single_figures(
+                              pipe, model, params, kps[0], kps[1],
+                              apps[0], extrs[0], intrs[0], sizes[0],
+                              ks(), fig_dir, length=seq_len,
+                              use_flow=False).items()})
+        return paths
 
     def _fallback_ckpt(self, template):
         """Flow-only training with no local cVAE checkpoint: search sibling
@@ -336,12 +379,17 @@ class BehaviorNetExperiment(Experiment):
     def _run_eval(self, eval_fn, state, test_loader, meta, ks, step,
                   n_sample_batches: int = 2):
         mets = []
+        capped = False
         for i, batch in enumerate(test_loader):
             batch = self._prep_batch(batch, meta)
             m, _ = eval_fn(state.net.params, batch, ks())
             mets.append({k: float(v) for k, v in jax.device_get(m).items()})
             if i + 1 >= n_sample_batches:
+                capped = True
                 break
+        if capped:
+            print(f"eval: averaged over first {n_sample_batches} test "
+                  f"batches (cap; remaining batches skipped)")
         if mets:
             avg = {k: float(np.mean([m[k] for m in mets]))
                    for k in mets[0]}
@@ -432,6 +480,9 @@ class BehaviorNetExperiment(Experiment):
                         jnp.asarray(to_3d(fsamples)),
                         jnp.asarray(gt)).items()})
             if i + 1 >= max_batches or (self.debug and i >= 1):
+                print(f"inference: sample-metric loop capped at "
+                      f"{i + 1} batches (max_batches={max_batches}, "
+                      f"debug={self.debug})")
                 break
 
         summary = {"recon_mse": float(np.mean(recon_mse))}
@@ -450,12 +501,19 @@ class BehaviorNetExperiment(Experiment):
 
     def _run_posthoc_protocol(self, model, state, flow_model,
                               flow_variables, test_loader, meta, ks,
-                              b_dim, max_cache: int = 1024):
+                              b_dim, max_cache: Optional[int] = None):
         """Cache rollouts per source and run the full protocol: ADE_c/FDE_c,
-        mu consistency, KS gaussianity of flow codes, post-hoc real/fake
-        classifiers + start-pose regressor, CF action-transfer scores
-        (reference behavior_net.py:1260-1522, lib/logging.py:2106-2226,
-        :2549-2562)."""
+        mu consistency, KS gaussianity of flow codes, per-start-frame
+        post-hoc real/fake classifiers + start-pose regressor, CF
+        action-transfer scores (reference behavior_net.py:1260-1522,
+        lib/logging.py:2106-2226, :2549-2562).
+
+        max_cache defaults to metrics.max_cache (25_000 — the reference's
+        num_samples cap at behavior_net.py:1133); the applied cap is
+        logged, never silent."""
+        if max_cache is None:
+            max_cache = int(self.config.get("metrics", {})
+                            .get("max_cache", 25_000))
         from .eval_protocol import (
             action_transfer_scores,
             cross_transfer_metrics,
@@ -519,6 +577,9 @@ class BehaviorNetExperiment(Experiment):
                 caches["flow"].append(np.asarray(xf))
             n_cached += kps.shape[0]
             if n_cached >= max_cache or self.debug:
+                print(f"inference: rollout cache capped at {n_cached} "
+                      f"samples (max_cache={max_cache}, "
+                      f"debug={self.debug})")
                 break
 
         cat = {k: np.concatenate(v) for k, v in caches.items() if v}
@@ -530,10 +591,12 @@ class BehaviorNetExperiment(Experiment):
             out["flow_ks_p"] = ks_test_flow_gaussianity(cat["z"])
         fake_sets = {k: cat[k] for k in ("prior", "cross", "self", "flow")
                      if k in cat}
-        n_iters = 50 if self.debug else 500
+        # reference protocol: 2000 iterations per start frame
+        # (behavior_net.py:1317); debug shrinks for CI
+        n_iters = 50 if self.debug else int(
+            self.config.get("metrics", {}).get("posthoc_iters", 2000))
         out.update(train_posthoc_classifiers(
-            ks(), cat["orig"], fake_sets, mu=cat["mu"],
-            start_pose=cat["start"], n_iters=n_iters))
+            ks(), cat["orig"], fake_sets, mu=cat["mu"], n_iters=n_iters))
 
         # CF scores need the action classifier trained alongside the cVAE
         cls_action = self._build_models(meta["n_kps"], meta["n_actions"],

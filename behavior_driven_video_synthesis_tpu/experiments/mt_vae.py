@@ -105,6 +105,7 @@ class MTVAEExperiment(Experiment):
             return self_out, cross_out
 
         rows = []
+        caches = {"orig": [], "prior": [], "self": [], "cross": []}
         vis_done = False
         for i, batch in enumerate(test_loader):
             kps = jnp.asarray(batch["keypoints"], jnp.float32)
@@ -125,6 +126,10 @@ class MTVAEExperiment(Experiment):
                 c3, cross[:, model.n_cond:].reshape(
                     cross.shape[0], -1, c3.shape[2], 3)))
             rows.append(row)
+            caches["orig"].append(np.asarray(gt))
+            caches["prior"].append(np.asarray(samples[:, 0]))
+            caches["self"].append(np.asarray(self_out))
+            caches["cross"].append(np.asarray(cross_out))
 
             if not vis_done and bool(cfg.general.get("visualization",
                                                      False)):
@@ -132,8 +137,23 @@ class MTVAEExperiment(Experiment):
                                         meta)
                 vis_done = True
             if i + 1 >= max_batches or (self.debug and i >= 1):
+                print(f"mtvae inference: capped at {i + 1} batches "
+                      f"(max_batches={max_batches}, debug={self.debug})")
                 break
         summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+
+        # post-hoc real/fake classifiers per sample source (reference
+        # lib/logging_mtvae.py eval_nets:36- mirrors behavior_net's
+        # classifier protocol on the MTVAE's prior/self/cross rollouts)
+        from .eval_protocol import train_posthoc_classifiers
+
+        cat = {k: np.concatenate(v) for k, v in caches.items()}
+        n_iters = 50 if self.debug else int(
+            cfg.get("metrics", {}).get("posthoc_iters", 2000))
+        summary.update(train_posthoc_classifiers(
+            ks(), cat["orig"],
+            {k: cat[k] for k in ("prior", "self", "cross")},
+            n_iters=n_iters))
         self.logger.log(summary, 0, prefix="infer/")
         print("mtvae inference:", summary)
         return summary

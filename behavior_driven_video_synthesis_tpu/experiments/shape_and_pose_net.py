@@ -23,7 +23,11 @@ from ..data import (
 )
 from ..data.synthetic_images import SyntheticImageDataset
 from ..metrics import ssim as ssim_fn
-from ..models.perceptual import PerceptualVGG19, load_npz_params
+from ..models.perceptual import (
+    LaplacianPyramidFeatures,
+    PerceptualVGG19,
+    load_npz_params,
+)
 from ..models.vunet import VUNet, VunetRegressor, compute_n_scales
 from ..utils import bounding_box_batch
 from ..train.vunet_exp import (
@@ -121,12 +125,26 @@ class ShapePoseExperiment(Experiment):
         return vunet, regressor
 
     def _build_vgg(self, spatial_size: int, key):
-        vgg = PerceptualVGG19()
+        """Perceptual feature net: pretrained VGG19 (npz), the weight-free
+        Laplacian pyramid (training.perceptual: laplacian), or random-init
+        VGG as last resort.  The choice is logged — random VGG features are
+        serviceable for training but SSIM/IS parity claims need real
+        weights (see WEIGHTS.md)."""
         x = jnp.zeros((1, spatial_size, spatial_size, 3))
+        mode = str(self.config.training.get("perceptual", "vgg")).lower()
         weights_path = self.config.training.get("vgg_weights_path")
+        if mode == "laplacian":
+            feat = LaplacianPyramidFeatures()
+            print("perceptual: laplacian pyramid (weight-free)")
+            return feat, feat.init(key, x)
+        vgg = PerceptualVGG19()
         if weights_path:
+            print(f"perceptual: VGG19 with weights from {weights_path}")
             variables = load_npz_params(str(weights_path))
         else:
+            print("perceptual: VGG19 with RANDOM init (no pretrained "
+                  "weights in this environment; metrics are not "
+                  "literature-comparable — see WEIGHTS.md)")
             variables = vgg.init(key, x)
         return vgg, variables
 

@@ -244,3 +244,241 @@ def load_synth_params(run_dir: str):
                   if cfg_path and os.path.exists(cfg_path) else None)
         return state["vunet"]["params"], config
     raise FileNotFoundError(f"no synthesis checkpoint under {run_dir}")
+
+
+# -- paper-figure entry points (reference lib/figures.py) -------------------
+
+
+def make_enrollment_figures(pipeline, params, x_source, x_start, apps,
+                            extrs, intrs, image_sizes, key, out_dir: str,
+                            length: int = 50, disc_step: int = 6,
+                            tag: str = "bid0-sid0") -> Dict[str, str]:
+    """Multi-camera enrollment figure (reference make_enrollment_figure,
+    lib/figures.py:458-686): re-enact ``x_source``'s behavior from
+    ``x_start`` under EVERY camera in one batched compiled call (the
+    camera axis rides the pipeline's batch axis — the TPU replacement of
+    the reference's per-camera python loop), then write
+
+      enrollment-<tag>.png          stickman filmstrip rows per camera
+      enrollment-rgb-<tag>.png      RGB filmstrip rows per camera
+      enrollment-overlay-<tag>.png  0.5/0.5 stickman+RGB overlay rows
+      enrollment_vid-<tag>.mp4      cameras side by side, stick|rgb rows
+
+    apps: (C, S, S, 3) appearance per camera; extrs (C, 3, 4);
+    intrs (C, 4); image_sizes (C, 2); x_source (T, K); x_start (K,).
+    """
+    from ..viz.videos import filmstrip, save_png
+
+    C = int(np.asarray(extrs).shape[0])
+    src = jnp.tile(jnp.asarray(x_source, jnp.float32)[None], (C, 1, 1))
+    start = jnp.tile(jnp.asarray(x_start, jnp.float32)[None], (C, 1))
+    out = pipeline.reenact(params, src, start, jnp.asarray(apps),
+                           jnp.asarray(extrs), jnp.asarray(intrs),
+                           jnp.asarray(image_sizes), key, length=length)
+    frames = frames_to_uint8(np.asarray(out["frames"], np.float32))
+    stick = frames_to_uint8(np.asarray(out["stickman"], np.float32))
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: Dict[str, str] = {}
+    stick_rows = np.concatenate(
+        [filmstrip(stick[c], disc_step) for c in range(C)], axis=0)
+    rgb_rows = np.concatenate(
+        [filmstrip(frames[c], disc_step) for c in range(C)], axis=0)
+    overlay = (0.5 * stick_rows.astype(np.float32)
+               + 0.5 * rgb_rows.astype(np.float32)).astype(np.uint8)
+    paths["kps"] = save_png(
+        stick_rows, os.path.join(out_dir, f"enrollment-{tag}.png"))
+    paths["rgb"] = save_png(
+        rgb_rows, os.path.join(out_dir, f"enrollment-rgb-{tag}.png"))
+    paths["overlay"] = save_png(
+        overlay, os.path.join(out_dir, f"enrollment-overlay-{tag}.png"))
+
+    vid = np.concatenate(
+        [np.concatenate([stick[c], frames[c]], axis=1) for c in range(C)],
+        axis=2)  # (T, 2H, C*W, 3)
+    paths["video"] = write_video(
+        vid, os.path.join(out_dir, f"enrollment_vid-{tag}.mp4"), fps=12)
+    return paths
+
+
+def latent_interpolate_eval_figures(pipeline, behavior_model, params,
+                                    kps1, kps2, apps, extrs, intrs,
+                                    image_sizes, key, out_dir: str,
+                                    n_steps: int = 6, length: int = 50,
+                                    disc_step: int = 6,
+                                    tag: str = "") -> Dict[str, str]:
+    """Inference-time latent interpolation figure (reference
+    latent_interpolate_eval, lib/figures.py:687-1127): slerp AND linear
+    paths between two sequences' behavior means, decoded from sequence 1's
+    start pose under every camera. All (interp-step x camera) rollouts run
+    as ONE batched pipeline call; writes per-camera filmstrip PNGs + mp4s.
+
+    kps1/kps2: (T, K) normalized keypoint sequences.
+    """
+    from ..viz.latent import latent_interpolate, slerp  # noqa: F401
+    from ..viz.videos import filmstrip, save_png
+
+    seq1 = jnp.asarray(kps1, jnp.float32)[None, :-1]
+    seq2 = jnp.asarray(kps2, jnp.float32)[None, :-1]
+    _, mu1, _, _ = behavior_model.apply(
+        {"params": params["behavior"]}, seq1, sample=False,
+        rngs={"sample": key}, method=behavior_model.infer_b)
+    _, mu2, _, _ = behavior_model.apply(
+        {"params": params["behavior"]}, seq2, sample=False,
+        rngs={"sample": jax.random.fold_in(key, 1)},
+        method=behavior_model.infer_b)
+    m1, m2 = np.asarray(mu1[0]), np.asarray(mu2[0])
+    vals = np.linspace(0.0, 1.0, n_steps)
+    b_slerp = latent_interpolate(m1, m2, n_steps)           # (n, H)
+    b_linear = np.stack([(1 - v) * m1 + v * m2 for v in vals])
+
+    C = int(np.asarray(extrs).shape[0])
+    paths: Dict[str, str] = {}
+    os.makedirs(out_dir, exist_ok=True)
+    for name, bs in (("slerp", b_slerp), ("linear", b_linear)):
+        # batch = n_steps x cameras in one compiled call
+        b = jnp.asarray(np.repeat(bs, C, axis=0), jnp.float32)
+        start = jnp.tile(seq1[:, 0], (n_steps * C, 1))
+        app_b = jnp.tile(jnp.asarray(apps), (n_steps, 1, 1, 1))
+        ex_b = jnp.tile(jnp.asarray(extrs), (n_steps, 1, 1))
+        in_b = jnp.tile(jnp.asarray(intrs), (n_steps, 1))
+        sz_b = jnp.tile(jnp.asarray(image_sizes), (n_steps, 1))
+        out = pipeline.generate(params, b, start, app_b, ex_b, in_b, sz_b,
+                                jax.random.fold_in(key, 2), length=length,
+                                use_flow=False)
+        frames = frames_to_uint8(np.asarray(out["frames"], np.float32))
+        frames = frames.reshape((n_steps, C) + frames.shape[1:])
+        for c in range(C):
+            # rows = interpolation steps, cols = time
+            strip = np.concatenate(
+                [filmstrip(frames[s, c], disc_step)
+                 for s in range(n_steps)], axis=0)
+            paths[f"{name}_cam{c}_png"] = save_png(
+                strip, os.path.join(
+                    out_dir, f"{tag}interp-{name}-cam{c}.png"))
+            vid = np.concatenate(list(frames[:, c]), axis=2)
+            paths[f"{name}_cam{c}_mp4"] = write_video(
+                vid, os.path.join(
+                    out_dir, f"{tag}interp-{name}-cam{c}.mp4"), fps=12)
+    return paths
+
+
+def sample_examples_single_figures(pipeline, behavior_model, params,
+                                   kps1, kps2, app, extr, intr,
+                                   image_size, key, out_dir: str,
+                                   n_samples: int = 4, length: int = 50,
+                                   disc_step: int = 6,
+                                   use_flow: bool = True,
+                                   tag: str = "sid0") -> Dict[str, str]:
+    """Diverse-futures figure for one start pose (reference
+    sample_examples_single, lib/figures.py:1810-2127): from sequence 1's
+    start pose render (a) the self-reconstruction from mu1, (b) the
+    behavior swap from mu2, and (c) n prior/flow samples — all in one
+    batched pipeline call — and write a filmstrip PNG (rows = variants)
+    plus an mp4 under ``<out_dir>/sid_<tag>/``.
+    """
+    from ..viz.videos import filmstrip, save_png
+
+    seq1 = jnp.asarray(kps1, jnp.float32)[None, :-1]
+    seq2 = jnp.asarray(kps2, jnp.float32)[None, :-1]
+    _, mu1, _, _ = behavior_model.apply(
+        {"params": params["behavior"]}, seq1, sample=False,
+        rngs={"sample": key}, method=behavior_model.infer_b)
+    _, mu2, _, _ = behavior_model.apply(
+        {"params": params["behavior"]}, seq2, sample=False,
+        rngs={"sample": jax.random.fold_in(key, 1)},
+        method=behavior_model.infer_b)
+    H = mu1.shape[-1]
+    z = jax.random.normal(jax.random.fold_in(key, 2), (n_samples, H))
+    if use_flow and pipeline.flow_model is not None:
+        bz = pipeline.flow_model.apply(
+            params["flow"], z, method=pipeline.flow_model.reverse)
+    else:
+        bz = z
+    b_all = jnp.concatenate([mu1, mu2, bz], axis=0)      # (2 + n, H)
+    n_rows = int(b_all.shape[0])
+    start = jnp.tile(seq1[:, 0], (n_rows, 1))
+    app_b = jnp.tile(jnp.asarray(app)[None], (n_rows, 1, 1, 1))
+    ex_b = jnp.tile(jnp.asarray(extr)[None], (n_rows, 1, 1))
+    in_b = jnp.tile(jnp.asarray(intr)[None], (n_rows, 1))
+    sz_b = jnp.tile(jnp.asarray(image_size)[None], (n_rows, 1))
+    out = pipeline.generate(params, b_all, start, app_b, ex_b, in_b, sz_b,
+                            jax.random.fold_in(key, 3), length=length,
+                            use_flow=False)
+    frames = frames_to_uint8(np.asarray(out["frames"], np.float32))
+
+    sid_dir = os.path.join(out_dir, f"sid_{tag}")
+    os.makedirs(sid_dir, exist_ok=True)
+    strip = np.concatenate(
+        [filmstrip(frames[r], disc_step) for r in range(n_rows)], axis=0)
+    paths = {
+        "png": save_png(strip,
+                        os.path.join(sid_dir, f"samples-{tag}.png")),
+        "mp4": write_video(
+            np.concatenate(list(frames), axis=2),
+            os.path.join(sid_dir, f"samples-{tag}.mp4"), fps=12),
+    }
+    return paths
+
+
+def make_behavior_startpose_grid(model, net_params, batch, out_dir: str,
+                                 key, seq_len: int, norm_stats=None,
+                                 n_behaviors: int = 3, n_starts: int = 3,
+                                 fps: int = 12, tag: str = "") -> str:
+    """Behavior x start-pose grid video (reference make_eval_grid,
+    lib/logging.py:1548-1867): row r shows behavior r re-enacted from every
+    start pose c; row 0 / col 0 carry the ground-truth sources.  All
+    n_behaviors x n_starts rollouts run in ONE batched jitted call (the
+    reference loops the grid on the host).
+
+    Returns the mp4 path.
+    """
+    kps = jnp.asarray(batch["keypoints"], jnp.float32)
+    n_behaviors = min(n_behaviors, kps.shape[0])
+    n_starts = min(n_starts, kps.shape[0])
+    seqs = kps[:, :-1]
+
+    @jax.jit
+    def grid_rollouts(net_params, seqs, key):
+        _, mu, _, _ = model.apply(
+            {"params": net_params}, seqs[:n_behaviors], sample=False,
+            rngs={"sample": key}, method=model.infer_b)
+        # (R*C, H): behavior r repeated over start poses c
+        b = jnp.repeat(mu, n_starts, axis=0)
+        starts = jnp.tile(seqs[:n_starts, 0], (n_behaviors, 1))
+        xs, _ = model.apply({"params": net_params}, b, starts[:, None],
+                            seq_len, method=model.generate_seq)
+        return xs.reshape(n_behaviors, n_starts, seq_len, -1)
+
+    xs = grid_rollouts(net_params, seqs, key)
+
+    def to_world(flat):
+        arr = np.asarray(flat)
+        if norm_stats is not None:
+            arr = np.asarray(unnormalize(arr, norm_stats))
+        return arr.reshape(arr.shape[:-1] + (-1, 3))
+
+    grid_w = to_world(xs)                        # (R, C, T, K, 3)
+    gt_w = to_world(np.asarray(seqs))            # (B, T, K, 3)
+
+    rows = []
+    # header row: blank cell + start-pose GT videos
+    header = [np.full_like(create_video_3d(gt_w[0], fps=fps), 255)]
+    header += [create_video_3d(gt_w[c], fps=fps) for c in range(n_starts)]
+    rows.append(np.concatenate(_equal_t(header), axis=2))
+    for r in range(n_behaviors):
+        cells = [create_video_3d(gt_w[r], fps=fps)]  # behavior source
+        cells += [create_video_3d(grid_w[r, c], fps=fps)
+                  for c in range(n_starts)]
+        rows.append(np.concatenate(_equal_t(cells), axis=2))
+    grid_vid = np.concatenate(_equal_t(rows), axis=1)
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{tag}eval_grid.mp4")
+    write_video(grid_vid.astype(np.uint8), out, fps=fps)
+    return out
+
+
+def _equal_t(vids):
+    t = min(v.shape[0] for v in vids)
+    return [v[:t] for v in vids]

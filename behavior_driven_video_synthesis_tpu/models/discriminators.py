@@ -163,7 +163,8 @@ class MIDisc(nn.Module):
 class MIDiscConv(nn.Module):
     """1x1-conv MI discriminator over flat latents (reference
     models/pose_discriminator.py:32-59 `MIDiscConv1`): an L2NormConv
-    feature extractor of VunetRNB blocks + a LeakyReLU/conv classifier.
+    feature extractor of LeakyReLU VunetRNB blocks + a LeakyReLU/conv
+    classifier whose output is summed over [C, H, W] into a (B, 1) logit.
     Kernel-1 convs on (B, 1, 1, C) maps are Dense layers on TPU — the
     residual blocks are kept so converted checkpoints map one-to-one."""
 
@@ -177,15 +178,18 @@ class MIDiscConv(nn.Module):
         from ..ops.nn import L2NormConv2d, VunetRNB
         if x.ndim != 4:
             x = x.reshape(x.shape[0], 1, 1, -1)
+        leaky = lambda v: nn.leaky_relu(v, 0.01)  # torch default slope
         h = L2NormConv2d(self.hidden_dim, kernel_size=1, dtype=self.dtype)(x)
         for _ in range(self.n_layers):
             h = VunetRNB(self.hidden_dim, kernel_size=1,
                          conv_layer=L2NormConv2d,
                          dropout_prob=self.dropout_prob,
+                         act_fn=leaky,
                          dtype=self.dtype)(h, train=train)
-        h = nn.leaky_relu(h, 0.2)
+        h = leaky(h)
         h = L2NormConv2d(self.hidden_dim, kernel_size=1, dtype=self.dtype)(h)
-        return h.reshape(x.shape[0], -1)
+        # sum over [H, W, C] -> (B, 1) logit (pose_discriminator.py:58-59)
+        return jnp.sum(h, axis=(1, 2, 3))[:, None]
 
 
 class ResnetBlock2D(nn.Module):

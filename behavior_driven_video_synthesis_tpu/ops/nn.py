@@ -284,11 +284,15 @@ class VunetRNB(nn.Module):
     activate: bool = True
     conv_layer: Callable = NormConv2d
     dropout_prob: float = 0.0
+    act_fn: Optional[Callable] = None  # override (ref passes LeakyReLU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, a=None, *, train: bool = False):
-        act = nn.elu if self.activate else (lambda v: v)
+        if self.act_fn is not None:
+            act = self.act_fn if self.activate else (lambda v: v)
+        else:
+            act = nn.elu if self.activate else (lambda v: v)
 
         def make_main_conv():
             return self.conv_layer(

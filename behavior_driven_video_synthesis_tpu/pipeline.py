@@ -64,15 +64,20 @@ class BehaviorTransferPipeline:
         # frame than ~128-frame chunks
         self.vunet_chunk = int(vunet_chunk)
 
-    def _chunk_size(self, n: int) -> int:
-        """Largest divisor of n not exceeding vunet_chunk (n itself when it
-        already fits)."""
+    def _chunk_size(self, n: int) -> tuple:
+        """Pick (chunk_size, padded_n) with chunk_size <= vunet_chunk.
+
+        Prefers an exact divisor in (vunet_chunk/2, vunet_chunk] — no padded
+        frames; otherwise pads n up to the next multiple of vunet_chunk so
+        an awkward n (e.g. prime B*T) never collapses to tiny chunks and a
+        silent throughput cliff."""
         if n <= self.vunet_chunk:
-            return n
-        for cs in range(self.vunet_chunk, 0, -1):
+            return n, n
+        for cs in range(self.vunet_chunk, self.vunet_chunk // 2, -1):
             if n % cs == 0:
-                return cs
-        return n  # pragma: no cover
+                return cs, n
+        cs = self.vunet_chunk
+        return cs, ((n + cs - 1) // cs) * cs
 
     # -- stages (all pure, called inside jit) -------------------------------
     def _unnormalize(self, flat):
@@ -148,13 +153,22 @@ class BehaviorTransferPipeline:
         means_tiled = [jnp.repeat(m, length, axis=0) for m in means]
 
         n = B * length
-        cs = self._chunk_size(n)
+        cs, n_pad = self._chunk_size(n)
         if cs == n:
             frames = self.vunet.apply(
                 {"params": params["vunet"]}, means_tiled, flat_stick,
                 method=self.vunet.transfer_cached)
         else:
             vp = params["vunet"]
+            pad = n_pad - n
+            if pad:
+                # zero-pad the tail so chunks tile evenly; sliced off below
+                means_tiled = [
+                    jnp.pad(m, ((0, pad),) + ((0, 0),) * (m.ndim - 1))
+                    for m in means_tiled]
+                flat_stick = jnp.pad(
+                    flat_stick,
+                    ((0, pad),) + ((0, 0),) * (flat_stick.ndim - 1))
 
             def synth_chunk(args):
                 m_c, s_c = args
@@ -162,11 +176,12 @@ class BehaviorTransferPipeline:
                                         method=self.vunet.transfer_cached)
 
             m_chunked = tuple(
-                m.reshape((n // cs, cs) + m.shape[1:]) for m in means_tiled)
-            s_chunked = flat_stick.reshape((n // cs, cs)
+                m.reshape((n_pad // cs, cs) + m.shape[1:])
+                for m in means_tiled)
+            s_chunked = flat_stick.reshape((n_pad // cs, cs)
                                            + flat_stick.shape[1:])
             frames = jax.lax.map(synth_chunk, (m_chunked, s_chunked))
-            frames = frames.reshape((n,) + frames.shape[2:])
+            frames = frames.reshape((n_pad,) + frames.shape[2:])[:n]
         frames = frames.reshape((B, length) + frames.shape[1:])
         return {"frames": frames, "stickman": stick, "poses_3d": world,
                 "keypoints_2d": px}

@@ -7,5 +7,7 @@ from .videos import (
     create_video_3d,
     text_to_vid,
     add_joints_to_img,
+    save_png,
+    filmstrip,
 )
 from .latent import slerp, latent_interpolate

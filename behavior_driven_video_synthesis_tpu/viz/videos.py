@@ -153,3 +153,20 @@ def add_joints_to_img(img: np.ndarray, kps: np.ndarray, joints,
                        (int(kps[jo[1], 0]), int(kps[jo[1], 1])),
                        color=color_joints[i], thickness=3)
     return img
+
+
+def save_png(img: np.ndarray, path: str) -> str:
+    """(H, W, 3) uint8 RGB -> png at ``path``."""
+    assert cv2 is not None
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    cv2.imwrite(path, cv2.cvtColor(np.ascontiguousarray(img),
+                                   cv2.COLOR_RGB2BGR))
+    return path
+
+
+def filmstrip(video: np.ndarray, disc_step: int = 6,
+              pad: int = 2) -> np.ndarray:
+    """(T, H, W, C) -> horizontal strip of every disc_step-th frame
+    (the reference figures' ``[::disc_step]`` layout)."""
+    sel = video[::disc_step]
+    return make_img_grid(sel, n_cols=sel.shape[0], pad=pad)

@@ -1,5 +1,6 @@
 """Checkpoint manager round-trip and restart semantics."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,7 @@ class TestCheckpointManager:
                                    jax.tree_util.tree_leaves(state.params)))
 
 
+@pytest.mark.e2e
 def test_graft_entry_dryrun_multichip():
     """The driver-facing multi-chip dryrun: behavior step under dp8 and
     dp4xtp2, and the cvbae image step under dp8, on the virtual mesh."""
@@ -74,3 +76,29 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.e2e
+def test_graft_entry_dryrun_driver_topology():
+    """Invoke dryrun_multichip via a fresh ``python -c`` process with NO
+    platform env vars set — exactly the process topology the driver uses.
+    Round 1's in-process test ran after conftest had already switched
+    platforms and missed a backend-bootstrap-order bug (MULTICHIP_r01 red)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    code = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+    ).format(root=os.path.abspath(root))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-4000:]
+    for line in ("dp8: OK", "dp4xtp2: OK", "cvbae dp8: OK",
+                 "cvbae dp2xspatial4: OK"):
+        assert line in r.stdout, (line, r.stdout)

@@ -182,10 +182,13 @@ class TestSmallModules:
         assert m.apply(p, x).shape == (2, 7)
 
     def test_midisc_conv(self):
+        # (B, 1) summed logit, matching reference pose_discriminator.py:58-59
         m = MIDiscConv(n_layers=2, hidden_dim=32)
         x = jnp.ones((4, 10))
         p = m.init(jr.PRNGKey(0), x)
-        assert m.apply(p, x).shape == (4, 32)
+        out = m.apply(p, x)
+        assert out.shape == (4, 1)
+        assert np.isfinite(np.asarray(out)).all()
 
     def test_resnet_block_2d(self):
         m = ResnetBlock2D(n_out=24, stride=2)

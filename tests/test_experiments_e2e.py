@@ -11,11 +11,14 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 from behavior_driven_video_synthesis_tpu.main import main
 
 # batch sizes must divide the 8-device virtual mesh set up in conftest
+
+pytestmark = pytest.mark.e2e  # slow CLI tier: run with -m e2e
 
 
 def _write_cfg(tmp_path, name, cfg):
@@ -256,3 +259,129 @@ def test_vunet_org_cli_train_and_fid(tmp_path):
     rows = [json.loads(line) for line in open(log)]
     fids = [r["eval/fid"] for r in rows if "eval/fid" in r]
     assert len(fids) >= 2 and all(np.isfinite(f) for f in fids)
+
+
+def test_cvbae_kill_and_restart_resume(tmp_path):
+    """SIGKILL a cvbae CLI training run mid-way, restart with --restart,
+    and verify step / gamma / optimizer continuity (SURVEY §5.3: the
+    reference's trickiest recovery behavior — restart reloads the dumped
+    config, picks the newest checkpoint, restores optimizer state, and
+    resumes the remaining budget)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    end_iteration = 20
+    cfg = {
+        "general": {
+            "base_dir": os.path.join(str(tmp_path), "runs"),
+            "project_name": "killtest",
+            "experiment": "cvbae",
+            "seed": 0,
+        },
+        "data": {
+            "dataset": "synthetic_images", "spatial_size": 32,
+            "box_factor": 1, "bottleneck_factor": 2,
+            "inplane_normalize": False, "n_persons": 4,
+            "frames_per_person": 8,
+        },
+        "architecture": {
+            "n_latent_scales": 2, "nf_start": 4, "nf_max": 8,
+            "subpixel_upsampling": True, "n_scales": 0, "n_rnb": 2,
+            "n_linear": 1,
+        },
+        "training": {
+            "batch_size": 8, "lr": 5e-4, "adam_betas": [0.5, 0.9],
+            "end_iteration": end_iteration,
+            # information_max=0 makes the controller monotone:
+            # gamma <- max(gamma + gamma_step * KL, 0), so continuity
+            # is checkable as strict growth across the restart
+            "information_max": 0, "gamma_step": 1e-3,
+            "train_regressor": False, "bf16": False, "dropout_prob": 0.0,
+        },
+        "metrics": {"n_it_metrics": 1000},
+        "logging": {"log_steps": 1000, "ckpt_steps": 5,
+                    "metrics_every": 1},
+    }
+    cfg_path = _write_cfg(tmp_path, "killtest", cfg)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from behavior_driven_video_synthesis_tpu.main import main\n"
+        "import sys; main(sys.argv[1:])\n"
+    )
+    ckpt_role = os.path.join(str(tmp_path), "runs", "cvbae", "ckpt",
+                             "killtest", "reg_ckpt")
+
+    def steps_on_disk():
+        if not os.path.isdir(ckpt_role):
+            return []
+        return sorted(int(d) for d in os.listdir(ckpt_role)
+                      if d.isdigit())
+
+    # run 1: kill as soon as the first checkpoint lands
+    p = subprocess.Popen([sys.executable, "-c", code,
+                          "--config", cfg_path],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 600:
+            done = steps_on_disk()
+            if done and done[-1] < end_iteration:
+                break
+            if p.poll() is not None:
+                break
+            time.sleep(0.5)
+        assert steps_on_disk(), "no checkpoint appeared before timeout"
+        killed_mid_run = p.poll() is None
+        if killed_mid_run:
+            p.send_signal(signal.SIGKILL)
+        p.wait(timeout=60)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    k1 = steps_on_disk()[-1]
+    assert k1 > 0
+
+    from behavior_driven_video_synthesis_tpu.core.checkpoint import (
+        CheckpointManager,
+    )
+
+    raw_k1 = CheckpointManager(ckpt_role)._mgr.restore(k1)
+    gamma_k1 = float(np.asarray(raw_k1["gamma"]))
+
+    # run 2: restart resumes from k1 and completes the remaining budget
+    r = subprocess.run([sys.executable, "-c", code, "--config", cfg_path,
+                        "--restart"], capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, (r.stdout or "")[-2000:] + r.stderr[-2000:]
+    out = r.stdout or ""
+    assert f"Restored reg_ckpt checkpoint at step {k1}" in out, out[-2000:]
+
+    final = steps_on_disk()[-1]
+    assert final == end_iteration, steps_on_disk()
+    raw_final = CheckpointManager(ckpt_role)._mgr.restore(final)
+    gamma_final = float(np.asarray(raw_final["gamma"]))
+    # gamma continuity: the monotone controller kept growing from its
+    # restored value rather than resetting to gamma_init=0
+    assert gamma_k1 > 0.0
+    assert gamma_final > gamma_k1
+
+    # optimizer/lr-schedule continuity: adam step count equals the TOTAL
+    # number of steps, not just run 2's share
+    counts = []
+
+    def _collect(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "count":
+                    counts.append(int(np.asarray(v)))
+                else:
+                    _collect(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                _collect(v)
+
+    _collect(raw_final["vunet"])
+    assert counts and max(counts) == end_iteration, counts

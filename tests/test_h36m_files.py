@@ -24,6 +24,8 @@ CAMS = (54138969, 55011271)
 N_FRAMES = 30
 IMG_HW = 128
 
+pytestmark = pytest.mark.e2e  # slow CLI tier: run with -m e2e
+
 
 def _camera(cam_index: int):
     """Small rotation about y per camera; translation in mm."""

@@ -16,6 +16,8 @@ from test_h36m_files import make_h36m_fixture
 def h36m_root(tmp_path_factory):
     return make_h36m_fixture(str(tmp_path_factory.mktemp("h36m_smoke")))
 
+pytestmark = pytest.mark.e2e  # slow CLI tier: run with -m e2e
+
 
 def _cfg(tmp_path, data):
     import yaml

@@ -155,3 +155,23 @@ def test_text_to_vid_and_add_joints():
     img = add_joints_to_img(img, kps, [(0, 1), (1, 2)],
                             color_joints=[(0, 0, 255)])
     assert img.max() == 255  # line drew
+
+
+def test_behavior_startpose_grid(tmp_path, rng):
+    from behavior_driven_video_synthesis_tpu.experiments.visualize import (
+        make_behavior_startpose_grid,
+    )
+    from behavior_driven_video_synthesis_tpu.models import (
+        ResidualBehaviorNet,
+    )
+    K, H, T = 51, 16, 4
+    model = ResidualBehaviorNet(n_kps=K, dim_hidden_b=H)
+    x = jnp.asarray(rng.randn(3, T, K).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sample": jax.random.PRNGKey(1)}, x, x, T)
+    batch = {"keypoints": rng.randn(3, T + 1, K).astype(np.float32)}
+    p = make_behavior_startpose_grid(
+        model, variables["params"], batch, str(tmp_path),
+        jax.random.PRNGKey(2), seq_len=T, n_behaviors=2, n_starts=2,
+        fps=4)
+    assert os.path.exists(p) and os.path.getsize(p) > 0

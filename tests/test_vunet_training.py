@@ -75,6 +75,7 @@ class TestPerceptual:
                     np.asarray(lp[k]), np.asarray(loaded["params"][name][k]))
 
 
+@pytest.mark.e2e  # heavy VGG/train-step compiles; slow tier
 class TestInception:
     def test_features_and_logits(self, rng):
         model = InceptionV3Features(with_logits=True)
@@ -86,6 +87,7 @@ class TestInception:
         assert logits.shape == (1, 1000)
 
 
+@pytest.mark.e2e  # heavy VGG/train-step compiles; slow tier
 class TestCvbaeStep:
     def test_loss_decreases(self, vgg, rng):
         vgg_model, vgg_vars = vgg
@@ -141,6 +143,7 @@ class TestCvbaeStep:
         assert float(metrics["kl_weight"]) == 0.0
 
 
+@pytest.mark.e2e  # heavy VGG/train-step compiles; slow tier
 class TestGanBranch:
     def test_cvbae_with_patchgan(self, vgg, rng):
         """use_gan path: disc trains, generator gets the GAN term, losses
@@ -180,3 +183,73 @@ class TestGanBranch:
         d1 = jax.tree_util.tree_leaves(state.gan.disc.params)
         assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
                    for a, b in zip(d0, d1))
+
+
+class TestLaplacianPerceptual:
+    """Weight-free perceptual substitute (see WEIGHTS.md)."""
+
+    def test_pyramid_names_shapes_deterministic(self, rng):
+        from behavior_driven_video_synthesis_tpu.models.perceptual import (
+            LaplacianPyramidFeatures,
+        )
+
+        model = LaplacianPyramidFeatures()
+        x = jnp.asarray(rng.rand(B, S, S, 3).astype(np.float32) * 2 - 1)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        feats = model.apply(variables, x)
+        assert list(feats.keys()) == feature_names()
+        f2 = model.apply(variables, x)
+        for k in feats:
+            np.testing.assert_array_equal(np.asarray(feats[k]),
+                                          np.asarray(f2[k]))
+
+    def test_bandpass_detects_blur(self, rng):
+        """A blurred copy must differ from the original in the band-pass
+        levels — the property the perceptual likelihood exists for."""
+        from behavior_driven_video_synthesis_tpu.models.perceptual import (
+            LaplacianPyramidFeatures,
+        )
+        from behavior_driven_video_synthesis_tpu.train.losses import (
+            vgg_loss,
+        )
+
+        model = LaplacianPyramidFeatures()
+        x = np.asarray(rng.rand(1, S, S, 3), np.float32) * 2 - 1
+        blurred = x.copy()
+        for _ in range(2):  # box blur
+            blurred = 0.25 * (np.roll(blurred, 1, 1)
+                              + np.roll(blurred, -1, 1)
+                              + np.roll(blurred, 1, 2)
+                              + np.roll(blurred, -1, 2))
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        ft = model.apply(variables, jnp.asarray(x))
+        fp = model.apply(variables, jnp.asarray(blurred))
+        losses = vgg_loss(ft, fp, [1.0] * 6)
+        # band-pass levels see the blur much more than the raw-pixel level
+        band = sum(float(losses[k]) for k in list(losses)[1:])
+        assert band > 4 * float(losses["input"])
+
+    def test_cvbae_step_with_laplacian(self, rng):
+        """The cvbae train step runs unchanged with the laplacian feature
+        net in place of VGG (training.perceptual: laplacian)."""
+        from behavior_driven_video_synthesis_tpu.models.perceptual import (
+            LaplacianPyramidFeatures,
+        )
+
+        feat = LaplacianPyramidFeatures()
+        fvars = feat.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)))
+        vunet = VUNet(spatial_size=S, nf_start=4, nf_max=8, variant="alter")
+        config = Config({
+            "architecture": {"cvae": False},
+            "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                         "train_regressor": False, "gamma_step": 1e-5,
+                         "information_max": 10.0, "n_init_batches": 1},
+        })
+        txs = {"vunet": optax.adam(5e-4)}
+        batch = _batch(np.random.RandomState(0), with_reg=False)
+        state = create_vunet_state(jax.random.PRNGKey(1), vunet, None,
+                                   feat, txs, batch)
+        step = jax.jit(make_cvbae_train_step(vunet, None, feat, fvars, txs,
+                                             config))
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
