@@ -624,4 +624,18 @@ class BehaviorNetExperiment(Experiment):
             err = np.sqrt(((cat["self"] - cat["orig"]) ** 2).sum(-1))
             make_hist(err.mean(axis=-1),
                       os.path.join(out_dir, "recon_error_hist.png"))
+
+            # nearest-neighbour retrieval figure in beta space (reference
+            # lib/figures.py:23 nearest_neighbours)
+            from ..viz.figures import nearest_neighbour_figure
+
+            nearest_neighbour_figure(
+                cat["mu"], cat["orig"], labels,
+                os.path.join(out_dir, "beta_nearest_neighbours.png"))
+
+            # RGB paper figures when a synthesis model is attached
+            # (enrollment / interpolation / diverse futures)
+            vis_batch = next(iter(test_loader))
+            self._maybe_render_rgb(model, state, vis_batch, meta, ks,
+                                   out_dir, tag="infer_")
         return out

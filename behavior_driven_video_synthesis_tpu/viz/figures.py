@@ -42,3 +42,40 @@ def sample_examples_grid(sample_videos: np.ndarray, n_frames: int = 6
     strips = [make_enrollment_strip(v, n_frames=n_frames)
               for v in sample_videos]
     return np.concatenate(strips, axis=0)
+
+
+def nearest_neighbour_figure(betas: np.ndarray, sequences: np.ndarray,
+                             labels: np.ndarray, out_path: str,
+                             n_queries: int = 4, k: int = 3,
+                             n_frames: int = 5) -> str:
+    """Beta-space NN retrieval figure (reference nearest_neighbours,
+    lib/figures.py:23): for n query sequences, retrieve the k nearest
+    training behaviors (self excluded) and write a grid PNG — each row is
+    the query's 3D-skeleton filmstrip followed by its neighbours', with
+    action labels burned in.  Returns the png path."""
+    import os
+
+    from .videos import create_video_3d, save_png, text_to_vid
+
+    betas = np.asarray(betas, np.float32)
+    seqs = np.asarray(sequences, np.float32)
+    labels = np.asarray(labels).reshape(len(betas), -1)[:, 0]
+    n_queries = min(n_queries, len(betas))
+    idx, _ = nearest_neighbours(betas[:n_queries], betas, k=k + 1)
+
+    def strip(i):
+        world = seqs[i].reshape(seqs[i].shape[0], -1, 3)
+        frames = create_video_3d(world)
+        frames = text_to_vid(frames, f"a{int(labels[i])}", (5, 20))
+        return make_enrollment_strip(frames, n_frames=n_frames)
+
+    rows = []
+    for q in range(n_queries):
+        neighbours = [i for i in idx[q] if i != q][:k]
+        rows.append(np.concatenate([strip(q)]
+                                   + [strip(i) for i in neighbours],
+                                   axis=1))
+    grid = np.concatenate(rows, axis=0)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    save_png(grid.astype(np.uint8), out_path)
+    return out_path

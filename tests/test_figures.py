@@ -24,6 +24,7 @@ from behavior_driven_video_synthesis_tpu.experiments.visualize import (
     sample_examples_single_figures,
 )
 from behavior_driven_video_synthesis_tpu.viz.figures import (
+    nearest_neighbour_figure,
     nearest_neighbours,
     sample_examples_grid,
 )
@@ -120,3 +121,13 @@ def test_nearest_neighbours_and_grid(tmp_path):
     vids = (rng.rand(2, T, S, S, 3) * 255).astype(np.uint8)
     grid = sample_examples_grid(vids, n_frames=3)
     assert grid.ndim == 3 and grid.shape[-1] == 3
+
+
+def test_nearest_neighbour_figure(tmp_path):
+    rng = np.random.RandomState(0)
+    p = nearest_neighbour_figure(
+        rng.randn(6, 5).astype(np.float32),
+        rng.randn(6, 4, 51).astype(np.float32),
+        rng.randint(0, 3, 6), str(tmp_path / "nn.png"),
+        n_queries=2, k=2, n_frames=3)
+    assert os.path.exists(p) and os.path.getsize(p) > 0
