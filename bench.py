@@ -43,9 +43,12 @@ def bench_pipeline():
         BehaviorTransferPipeline,
     )
 
-    # B=8 is the measured HBM-bound throughput knee on a 16G v5e chip:
-    # 2,341 f/s at B=2 -> 2,634 at B=4 -> 2,691 at B=8; B=16 OOMs (23G).
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    # Round-2 B sweep on the real v5e chip (honest feedback-loop timing,
+    # chunked VUNet stage so HBM never blows up): B=8 1,994 f/s ->
+    # B=16 2,018 -> B=20 2,361 -> B=24 2,289 -> B=28 2,033 -> B=32 2,036.
+    # B=20 (125-frame chunks) is the knee; larger batches lose to HBM
+    # pressure from the B*T stickman/frame tensors.
+    B = int(os.environ.get("BENCH_BATCH", "20"))
     S = int(os.environ.get("BENCH_SPATIAL", "256"))
     T = int(os.environ.get("BENCH_LENGTH", "50"))
     HID, K_FULL, K_USE = 1024, 51, 48

@@ -48,11 +48,14 @@ def run_mode(mode: str, steps: int, size: int, batch: int) -> dict:
     else:
         raise ValueError(mode)
 
+    # gamma_step=0: the KL bottleneck stays off so the comparison isolates
+    # the likelihood term (a live controller on this tiny synthetic setup
+    # blows gamma*KL up to ~1e7 and swamps the perceptual differences)
     config = Config({
         "architecture": {"cvae": False},
-        "training": {"ll_weight": 5.0, "vgg_weights": weights,
-                     "train_regressor": False, "gamma_step": 1e-5,
-                     "information_max": 10.0, "n_init_batches": 1},
+        "training": {"ll_weight": 1.0, "vgg_weights": weights,
+                     "train_regressor": False, "gamma_step": 0.0,
+                     "information_max": 1000.0, "n_init_batches": 1},
     })
     train_ds = SyntheticImageDataset(n_persons=8, frames_per_person=16,
                                      spatial_size=size, seed=0)
@@ -70,18 +73,31 @@ def run_mode(mode: str, steps: int, size: int, batch: int) -> dict:
     step_fn = jax.jit(make_cvbae_train_step(vunet, None, feat, fvars, txs,
                                             config), donate_argnums=(0,))
 
-    it = train_ds.batches(batch, seed=3)
+    # whole training loop in ONE jit with the dataset device-resident:
+    # per-step python dispatch through the TPU relay costs 0.3-1 s each,
+    # which would dominate; a fori_loop sampling batch indices on device
+    # removes every host round trip
+    items = [train_ds[i] for i in range(len(train_ds))]
+    data = {k: jnp.asarray(np.stack([it[k] for it in items]))
+            for k in ("pose_img", "stickman", "app_img")}
+    n_data = len(items)
+
+    @jax.jit
+    def train_loop(state, key):
+        def body(i, carry):
+            state, _ = carry
+            kb = jax.random.fold_in(key, i)
+            idx = jax.random.randint(kb, (batch,), 0, n_data)
+            b = {k: v[idx] for k, v in data.items()}
+            state, metrics = step_fn(state, b, jax.random.fold_in(kb, 1))
+            return state, metrics["loss"]
+
+        return jax.lax.fori_loop(0, steps, body,
+                                 (state, jnp.zeros(())))
+
     t0 = time.time()
-    loss = float("nan")
-    for i in range(steps):
-        try:
-            b = next(it)
-        except StopIteration:
-            it = train_ds.batches(batch, seed=4 + i)
-            b = next(it)
-        b = {k: jnp.asarray(v) for k, v in b.items()}
-        state, metrics = step_fn(state, b, jax.random.fold_in(key, i))
-    loss = float(metrics["loss"])
+    state, last_loss = train_loop(state, jax.random.fold_in(key, 123))
+    loss = float(last_loss)
     train_s = time.time() - t0
 
     # test-set reconstruction SSIM (transfer path, posterior means)
