@@ -108,9 +108,11 @@ def run_mode(mode: str, steps: int, size: int, batch: int) -> dict:
     recon = jax.jit(lambda p, a, s: vunet.apply(
         {"params": p}, a, s, rngs={"sample": key},
         method=vunet.transfer))(state.vunet.params, app, stick)
-    to01 = lambda v: (np.asarray(v, np.float32) + 1.0) / 2.0
+    to01 = lambda v: np.clip((np.asarray(v, np.float32) + 1.0) / 2.0, 0, 1)
     val = float(np.mean(np.asarray(ssim_fn(to01(recon), to01(pose)))))
-    return {"mode": mode, "ssim": round(val, 4),
+    l1 = float(np.abs(np.asarray(recon, np.float32)
+                      - np.asarray(pose, np.float32)).mean())
+    return {"mode": mode, "ssim": round(val, 4), "recon_l1": round(l1, 4),
             "final_loss": round(loss, 3),
             "train_seconds": round(train_s, 1)}
 
