@@ -305,6 +305,7 @@ class BehaviorNetExperiment(Experiment):
         pipeline: multi-camera enrollment (lib/figures.py:458), latent
         interpolation eval (:687), diverse-futures single-sid (:1810)."""
         from .visualize import (
+            get_synth_input_all_cameras,
             latent_interpolate_eval_figures,
             make_enrollment_figures,
             sample_examples_single_figures,
@@ -314,9 +315,22 @@ class BehaviorNetExperiment(Experiment):
         paths = {}
         seq_len = meta["seq_len"]
         kps = np.asarray(kps, np.float32)
+        # enrollment rows = every DISTINCT camera when the dataset has them
+        # (reference all_cameras=True); fall back to the sampled inputs
+        try:
+            cam_in = get_synth_input_all_cameras(meta.get("dataset"))
+            import cv2
+
+            S = apps.shape[1]
+            cam_apps = np.stack([
+                a if a.shape[0] == S else cv2.resize(a, (S, S))
+                for a in cam_in[0]])
+            apps_e, extrs_e, intrs_e, sizes_e = (cam_apps,) + cam_in[1:]
+        except Exception:
+            apps_e, extrs_e, intrs_e, sizes_e = apps, extrs, intrs, sizes
         paths.update({f"enroll_{k}": v for k, v in make_enrollment_figures(
             pipe, params, kps[0, :-1], kps[min(1, len(kps) - 1), 0],
-            apps, extrs, intrs, sizes, ks(), fig_dir,
+            apps_e, extrs_e, intrs_e, sizes_e, ks(), fig_dir,
             length=seq_len).items()})
         if len(kps) > 1:
             paths.update({f"interp_{k}": v

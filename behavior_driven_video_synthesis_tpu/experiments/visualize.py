@@ -202,11 +202,55 @@ def get_synth_input(dataset, idx: int, spatial_size: int):
     intrinsics, image_size) for one sample."""
     dd = (dataset.complete_datadict
           if dataset.complete_datadict is not None else dataset.datadict)
-    app = dataset._to_float(dataset._prep_image(int(idx)))
+    # image must come from the SAME dict the camera params index into
+    # (the complete dict is larger than the camera-reduced datadict)
+    import cv2
+
+    img = cv2.imread(str(dd["img_paths"][idx]))
+    if img is None:
+        raise FileNotFoundError(dd["img_paths"][idx])
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.shape[0] != dataset.spatial_size:
+        img = cv2.resize(img, (dataset.spatial_size, dataset.spatial_size),
+                         interpolation=cv2.INTER_LINEAR)
+    app = dataset._to_float(img)
     extr = np.asarray(dd["extrinsics_univ"][idx], np.float32)
     intr = np.asarray(dd["intrinsics_univ"][idx], np.float32)
     imsize = np.asarray(dd["image_size"][idx], np.float32)
     return app, extr, intr, imsize
+
+
+def get_synth_input_all_cameras(dataset, rng=None):
+    """One (appearance, extrinsics, intrinsics, image_size) tuple per
+    DISTINCT camera, appearance fixed to one random person seen from each
+    camera (reference get_synth_input(all_cameras=True),
+    lib/logging.py:1473-1514).  Returns stacked arrays
+    (C,S,S,3)/(C,3,4)/(C,4)/(C,2); falls back to [get_synth_input(0)] when
+    the dataset has no camera ids."""
+    rng = rng or np.random.RandomState(0)
+    dd = (dataset.complete_datadict
+          if getattr(dataset, "complete_datadict", None) is not None
+          else dataset.datadict)
+    if "camera_id" not in dd or "extrinsics_univ" not in dd:
+        app, extr, intr, size = get_synth_input(dataset, 0, 0)
+        return (app[None], extr[None], intr[None], size[None])
+    cameras = np.unique(dd["camera_id"])
+    persons = np.unique(dd["p_ids"])
+    tpid = persons[rng.randint(len(persons))]
+    apps, extrs, intrs, sizes = [], [], [], []
+    for cam in cameras:
+        sel = np.nonzero((dd["p_ids"] == tpid)
+                         & (dd["camera_id"] == cam))[0]
+        if sel.size == 0:  # person not seen by this camera
+            sel = np.nonzero(dd["camera_id"] == cam)[0]
+        tid = int(sel[0])
+        app, extr, intr, size = get_synth_input(dataset, tid, 0)
+        apps.append(app)
+        extrs.append(extr)
+        intrs.append(intr)
+        sizes.append(size)
+    return (np.stack(apps), np.stack(extrs), np.stack(intrs),
+            np.stack(sizes))
 
 
 def load_synth_params(run_dir: str):

@@ -28,7 +28,8 @@ def create_dir_structure(config: Config, model_name: str):
     return {d: path.join(base, d, model_name) for d in subdirs}
 
 
-def load_parameters(config_name: str, restart: bool, debug: bool):
+def load_parameters(config_name: str, restart: bool, debug: bool,
+                    pretrained_model: str = None):
     config = load_config(config_name)
     if debug:
         config.general["debug"] = True
@@ -46,10 +47,60 @@ def load_parameters(config_name: str, restart: bool, debug: bool):
         config = load_config(saved_cfg)
         if debug:
             config.general["debug"] = True
+    elif pretrained_model:
+        # warm start (reference main.py:32-47): adopt the pretrained run's
+        # config and copy its checkpoints into this run's ckpt dir, then
+        # train/infer as usual from there
+        config, dirs = _adopt_pretrained(pretrained_model, debug)
     else:
         os.makedirs(dirs["config"], exist_ok=True)
         save_config(config, saved_cfg)
     config.general["restart"] = restart
+    return config, dirs
+
+
+def _adopt_pretrained(pretrained_model: str, debug: bool):
+    """Warm start from a pretrained run (reference main.py:32-47).
+
+    Accepts either the experiment root ``<base>/<experiment>`` (sole
+    project) or the project's config dir
+    ``<base>/<experiment>/config/<project>``; loads its config.yaml and
+    copies the run's orbax checkpoint role dirs into the new run's ckpt
+    dir (the reference copies the run's ``*.pth`` files)."""
+    import glob as _glob
+    import shutil
+
+    direct = path.join(pretrained_model, "config.yaml")
+    if path.isfile(direct):
+        cfg_path = direct
+        project = path.basename(path.normpath(pretrained_model))
+        src_ckpt = path.join(path.dirname(path.dirname(
+            path.normpath(pretrained_model))), "ckpt", project)
+    else:
+        found = sorted(_glob.glob(
+            path.join(pretrained_model, "config", "*", "config.yaml")))
+        if len(found) != 1:
+            raise FileNotFoundError(
+                f"--pretrained_model: expected exactly one "
+                f"config/<project>/config.yaml under {pretrained_model}, "
+                f"found {found}")
+        cfg_path = found[0]
+        project = path.basename(path.dirname(cfg_path))
+        src_ckpt = path.join(pretrained_model, "ckpt", project)
+    config = load_config(cfg_path)
+    if debug:
+        config.general["debug"] = True
+    dirs = create_dir_structure(config, config.general.project_name)
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    save_config(config, path.join(dirs["config"], "config.yaml"))
+    if path.isdir(src_ckpt) and path.abspath(src_ckpt) != path.abspath(
+            dirs["ckpt"]):
+        for role in os.listdir(src_ckpt):
+            s = path.join(src_ckpt, role)
+            t = path.join(dirs["ckpt"], role)
+            if path.isdir(s) and not path.exists(t):
+                shutil.copytree(s, t)
     return config, dirs
 
 
@@ -73,7 +124,8 @@ def main(argv=None):
     parser.add_argument("--pretrained_model", type=str, default=None)
     args = parser.parse_args(argv)
 
-    config, dirs = load_parameters(args.config, args.restart, args.debug)
+    config, dirs = load_parameters(args.config, args.restart, args.debug,
+                                   args.pretrained_model)
     if args.flow:
         config.training["only_flow"] = True
     if args.visualization:

