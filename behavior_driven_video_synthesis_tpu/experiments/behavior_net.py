@@ -622,6 +622,21 @@ class BehaviorNetExperiment(Experiment):
         out.update(action_transfer_scores(cls_apply, cat["cross"],
                                           cat["orig"], cat["labels"]))
 
+        # CF_action: does the action classifier recognize the action in
+        # PRIOR-sample rollouts; CF_action_beta: accuracy of the
+        # beta-classifier trained alongside the cVAE on inferred mu
+        # (reference lib/logging.py:2115-2127, :2640)
+        labels = jnp.asarray(cat["labels"]).reshape(len(cat["mu"]), -1)[:, 0]
+        logits_p, _ = cls_apply(jnp.asarray(cat["prior"], jnp.float32))
+        out["CF_action"] = float(jnp.mean(
+            (jnp.argmax(logits_p, -1) == labels).astype(jnp.float32)))
+        cls_beta = self._build_models(meta["n_kps"], meta["n_actions"],
+                                      seq_len)[4]
+        beta_logits = cls_beta.apply({"params": state.cls_beta.params},
+                                     jnp.asarray(cat["mu"], jnp.float32))
+        out["CF_action_beta"] = float(jnp.mean(
+            (jnp.argmax(beta_logits, -1) == labels).astype(jnp.float32)))
+
         if bool(self.config.general.get("visualization", False)):
             # beta-space embedding colored by action (reference log_umap,
             # lib/logging.py:1366-1436; PCA fallback without umap) and the
