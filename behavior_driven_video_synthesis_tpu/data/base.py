@@ -51,6 +51,15 @@ class BaseDataset:
         self.label_transfer = bool(kwargs.get("label_transfer", False))
         self.train_reg = bool(kwargs.get("train_regressor", False))
         self.rng = np.random.RandomState(kwargs.get("data_seed", None))
+        # distinct per-limb stickman line colors (reference
+        # base_dataset.py:149-162 `diff_line_colors`)
+        if kwargs.get("diff_line_colors", False):
+            from ..geometry.stickman import get_line_colors
+            self.line_colors = get_line_colors(
+                (len(joint_model.left_lines), len(joint_model.right_lines),
+                 len(joint_model.head_lines) + len(joint_model.face)))
+        else:
+            self.line_colors = None
 
         self.datadict: Dict[str, np.ndarray] = {
             "img_paths": np.asarray([]),
@@ -309,6 +318,7 @@ class BaseDataset:
         for i in np.asarray(ids):
             kps = self._get_kps_for_rendering(int(i))
             img = make_joint_img(size, kps, self.joint_model,
+                                 line_colors=self.line_colors,
                                  scale_factor=self.stickman_scale_factor())
             out.append(self._to_float(img))
         return self._squeeze_seq(np.stack(out))

@@ -394,7 +394,8 @@ class Human36mDataset(BaseDataset):
             px = self._project_to_pixels(int(i), kps3d_w)
             img = make_joint_img(
                 (self.spatial_size, self.spatial_size, 3), px,
-                self.joint_model, scale_factor=self.stickman_scale)
+                self.joint_model, line_colors=self.line_colors,
+                scale_factor=self.stickman_scale)
             out.append(self._to_float(img))
         return self._squeeze_seq(np.stack(out))
 

@@ -298,6 +298,10 @@ class ShapePoseExperiment(Experiment):
                 with open(str(iw), "rb") as f:
                     incep_vars = pickle.load(f)
             else:
+                print("metrics: InceptionV3 with RANDOM init (no "
+                      "pretrained weights in this environment) — IS/FID "
+                      "values are relative only, NOT literature-"
+                      "comparable; see WEIGHTS.md")
                 incep_vars = incep.init(
                     jax.random.PRNGKey(0),
                     jnp.zeros((1, 128, 128, 3)))

@@ -55,9 +55,33 @@ class JointModel:
     norm_T: Sequence = field(default_factory=list)
 
 
+def get_line_colors(n_lines_per_channel):
+    """Distinct per-line single-channel colors (reference
+    lib/utils.py:51-67): for channel i with n lines, line j gets intensity
+    ``(j+1) * (255 // (n+1))`` in channel i and 0 elsewhere.  Used when a
+    dataset is built with ``diff_line_colors`` so each limb is separable in
+    the stickman conditioning image."""
+    line_colors = []
+    for channel, nr_lines in enumerate(n_lines_per_channel):
+        interval = int(255 // (nr_lines + 1))
+        line_colors.append(
+            [[(i + 1) * interval if c == channel else 0 for c in range(3)]
+             for i in range(nr_lines)])
+    return line_colors
+
+
 def make_joint_img(img_shape, joints, joint_model: JointModel,
-                   color_channel=None, scale_factor=None) -> np.ndarray:
-    """Host/cv2 stickman — behavioral port of reference make_joint_img."""
+                   line_colors=None, color_channel=None,
+                   scale_factor=None) -> np.ndarray:
+    """Host/cv2 stickman — behavioral port of reference make_joint_img.
+
+    ``line_colors`` (reference lib/utils.py:363-364,386-393,443-450): a
+    3-group list from :func:`get_line_colors`; group 0 colors right_lines,
+    group 1 left_lines, group 2 head_lines — matching the reference's
+    indexing (its get_line_colors call sites pass (left, right, head+face)
+    counts, but make_joint_img indexes [0]=right, [1]=left; both sides have
+    equal line counts in every shipped joint model so the quirk is benign
+    and reproduced as-is)."""
     assert cv2 is not None, "cv2 required for host stickman rendering"
     thickness = (int(img_shape[1] // scale_factor)
                  if scale_factor is not None else 1)
@@ -71,6 +95,11 @@ def make_joint_img(img_shape, joints, joint_model: JointModel,
             for ch, col in channel_colors:
                 cv2.line(imgs[ch], a, b, color=col, thickness=thickness)
 
+    def _lc(group, line_nr):
+        col = line_colors[group][line_nr]
+        ch = int(np.nonzero(col)[0][0])
+        return [(ch, col[ch])]
+
     if len(joint_model.body) > 2:
         body_pts = np.array([[joints[p, :] for p in joint_model.body]])
         valid = np.all(body_pts >= 0.0, axis=-1)
@@ -82,13 +111,15 @@ def make_joint_img(img_shape, joints, joint_model: JointModel,
             else:
                 cv2.fillPoly(imgs[color_channel], poly, 255)
 
-    for line in joint_model.right_lines:
+    for line_nr, line in enumerate(joint_model.right_lines):
         draw_line(line[0], line[1],
                   [(color_channel, 255)] if color_channel is not None
+                  else _lc(0, line_nr) if line_colors is not None
                   else [(1, 255)])
-    for line in joint_model.left_lines:
+    for line_nr, line in enumerate(joint_model.left_lines):
         draw_line(line[0], line[1],
                   [(color_channel, 255)] if color_channel is not None
+                  else _lc(1, line_nr) if line_colors is not None
                   else [(0, 255)])
 
     if len(joint_model.head_lines) == 0:
@@ -107,9 +138,10 @@ def make_joint_img(img_shape, joints, joint_model: JointModel,
                     cv2.line(imgs[color_channel], a, b, color=255,
                              thickness=thickness)
     else:
-        for line in joint_model.head_lines:
+        for line_nr, line in enumerate(joint_model.head_lines):
             draw_line(line[0], line[1],
                       [(color_channel, 255)] if color_channel is not None
+                      else _lc(2, line_nr) if line_colors is not None
                       else [(0, 127), (1, 127)])
 
     img = np.stack(imgs, axis=-1)

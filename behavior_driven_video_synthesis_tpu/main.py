@@ -107,21 +107,21 @@ def _adopt_pretrained(pretrained_model: str, debug: bool):
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="behavior_driven_video_synthesis_tpu")
-    parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--restart", action="store_true")
-    parser.add_argument("--flow", action="store_true",
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-r", "--restart", action="store_true")
+    parser.add_argument("-f", "--flow", action="store_true",
                         help="train only the flow stage of behavior_net")
     parser.add_argument("--gpu", type=int, nargs="*", default=None,
                         help="accepted for CLI parity; devices come from "
                              "the JAX mesh")
-    parser.add_argument("--mode", type=str, default="train",
+    parser.add_argument("-m", "--mode", type=str, default="train",
                         choices=["train", "infer"])
-    parser.add_argument("--debug", action="store_true")
-    parser.add_argument("--visualization", action="store_true")
-    parser.add_argument("--synth_model", type=str, default=None,
+    parser.add_argument("-d", "--debug", action="store_true")
+    parser.add_argument("-v", "--visualization", action="store_true")
+    parser.add_argument("-s", "--synth_model", type=str, default=None,
                         help="pretrained synthesis run dir for video "
                              "rendering")
-    parser.add_argument("--pretrained_model", type=str, default=None)
+    parser.add_argument("-p", "--pretrained_model", type=str, default=None)
     args = parser.parse_args(argv)
 
     config, dirs = load_parameters(args.config, args.restart, args.debug,

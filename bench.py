@@ -378,7 +378,8 @@ def _watchdog(seconds: int):
             "vs_baseline": None,
             "error": f"TPU relay unresponsive for {seconds}s "
                      "(see ROADMAP.md environment notes); "
-                     "last known-good: pipeline 2519 frames/sec/chip",
+                     "last known-good: pipeline 2361 frames/sec/chip "
+                     "(B=20, honest feedback-loop timing)",
         }), flush=True)
         os._exit(3)
 

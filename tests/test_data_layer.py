@@ -163,6 +163,45 @@ class TestStickman:
         assert st.max() > -1.0  # something was drawn
         assert st.min() >= -1.0 and st.max() <= 1.0
 
+    def test_diff_line_colors(self):
+        """diff_line_colors (reference base_dataset.py:149-162): each limb
+        line gets a distinct single-channel color from get_line_colors."""
+        from behavior_driven_video_synthesis_tpu.geometry.stickman import (
+            get_line_colors, make_joint_img,
+        )
+        rng = np.random.RandomState(6)
+        ds = Human36mDataset(
+            transforms=None, data_keys=["keypoints", "stickman"],
+            seq_length=(4, 5), mode="train",
+            keypoint_type="keypoints_3d_world", use_3d_for_stickman=True,
+            train_synthesis=True, spatial_size=SPATIAL, stickman_scale=16,
+            data_seed=0, diff_line_colors=True,
+        )
+        ds.populate_from_arrays(synth_h36m_columns(rng))
+        jm = ds.joint_model
+        lc = get_line_colors((len(jm.left_lines), len(jm.right_lines),
+                              len(jm.head_lines) + len(jm.face)))
+        assert ds.line_colors == lc
+        # reference formula: line j in channel c -> (j+1)*(255//(n+1))
+        n = len(jm.left_lines)
+        assert lc[0][0] == [255 // (n + 1), 0, 0]
+        assert all(int(np.count_nonzero(col)) == 1
+                   for group in lc for col in group)
+        item = ds[[0, 4]]
+        st = item["stickman"]
+        assert st.shape == (5, SPATIAL, SPATIAL, 3)
+        # drawn intensities come from the distinct color table, so the
+        # plain 255/127 line scheme must NOT be the only intensity present
+        px = ds._get_kps_for_rendering(0)
+        img_diff = make_joint_img((SPATIAL, SPATIAL, 3), px, jm,
+                                  line_colors=lc, scale_factor=16)
+        img_plain = make_joint_img((SPATIAL, SPATIAL, 3), px, jm,
+                                   scale_factor=16)
+        assert img_diff.sum() > 0
+        assert not np.array_equal(img_diff, img_plain)
+        vals = set(np.unique(img_diff)) - {0}
+        assert any(v not in (127, 255) for v in vals), vals
+
     def test_device_renderer_matches_cv2(self):
         """Device rasterizer vs cv2 on the same skeleton: high IoU of drawn
         pixels."""
