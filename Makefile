@@ -1,13 +1,14 @@
 # Developer entry points.
 .PHONY: test test-fast test-e2e bench native demo clean
 
-# fast tier: unit/integration tests, no CLI e2e (see pyproject markers)
+# fast tier (<5 min on the 1-CPU box): unit/integration tests minus the
+# CLI e2e tests and the heavy-trace `slow` set (see tests/conftest.py)
 test-fast:
-	python -m pytest tests/ -x -q -m "not e2e"
+	python -m pytest tests/ -x -q -m "not e2e and not slow"
 
-# slow tier: CLI/driver end-to-end tests
+# slow tier: CLI/driver end-to-end tests + heavy-trace unit tests
 test-e2e:
-	python -m pytest tests/ -x -q -m e2e
+	python -m pytest tests/ -x -q -m "e2e or slow"
 
 test:
 	python -m pytest tests/ -x -q
