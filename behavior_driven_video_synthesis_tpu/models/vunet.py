@@ -28,6 +28,7 @@ Latent sampling draws from the "sample" RNG collection; dropout from
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, List, Optional
 
 import numpy as np
@@ -278,6 +279,7 @@ class VUNet(nn.Module):
     conv_layer_type: str = "l1"
     variant: str = "alter"  # "org" | "alter"
     dropout_prob: float = 0.0
+    quant: str = "none"  # "int8": dynamically-quantized serving convs
     dtype: Dtype = jnp.float32
 
     @property
@@ -292,6 +294,18 @@ class VUNet(nn.Module):
 
     def setup(self):
         conv_layer = CONV_LAYERS[self.conv_layer_type]
+        conv_layer_pf = conv_layer
+        if self.quant != "none":
+            # post-training quantized serving: the same f32 weight-norm
+            # params, but the 3x3 workhorse convs of the PER-FRAME path
+            # (du + dd — what transfer_cached runs for every video frame)
+            # execute int8 on the MXU (see ops/nn._conv_int8).  The
+            # appearance encode path (eu + ed) runs once per video and
+            # feeds the latents, so it stays full precision.  "int8_static"
+            # additionally needs a calibration pass (see calibrate()).
+            assert conv_layer is NormConv2d, (
+                "quantized serving requires the l1 (NormConv2d) conv layer")
+            conv_layer_pf = partial(NormConv2d, quant=self.quant)
         self.eu = EncUp(
             n_scales=self.n_scales_x, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer,
@@ -304,7 +318,7 @@ class VUNet(nn.Module):
         )
         self.du = EncUp(
             n_scales=self.n_scales, nf_start=self.nf_start,
-            nf_max=self.nf_max, conv_layer=conv_layer,
+            nf_max=self.nf_max, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob, dtype=self.dtype,
         )
         self.dd = DecDown(
@@ -312,7 +326,7 @@ class VUNet(nn.Module):
             nf_last=self.nf_start, nf_out=3,
             n_latent_scales=self.n_latent_scales,
             subpixel_upsampling=self.subpixel_upsampling,
-            variant=self.variant, conv_layer=conv_layer,
+            variant=self.variant, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob, dtype=self.dtype,
         )
 
@@ -359,6 +373,22 @@ class VUNet(nn.Module):
         gs = self.du(c)
         imgs, _, _, _ = self.dd(gs, list(means), training=True)
         return imgs
+
+
+def calibrate_quant(model: "VUNet", variables, means, stickman):
+    """One PTQ calibration pass for a quant="int8_static" VUNet.
+
+    Runs transfer_cached on representative (means, stickman) inputs with
+    the "quant" collection mutable, folding the batch's per-conv activation
+    amax into the stored running scales.  Returns the variables dict with
+    the calibrated "quant" collection.  Call once (or a few times over
+    diverse batches) before serving; serving applies then read the static
+    scales and the quantize chain fuses into its producers (zero extra
+    bandwidth — see ops/nn._conv_int8).
+    """
+    _, mut = model.apply(variables, means, stickman, mutable=["quant"],
+                         method=model.transfer_cached)
+    return {**variables, **mut}
 
 
 class VunetRegressor(nn.Module):

@@ -80,42 +80,10 @@ class BehaviorTransferPipeline:
         return cs, ((n + cs - 1) // cs) * cs
 
     # -- stages (all pure, called inside jit) -------------------------------
-    def _unnormalize(self, flat):
-        out_shape = flat.shape[:-1] + (self.full_dim,)
-        full = jnp.zeros(out_shape, flat.dtype)
-        full = full.at[..., self.dim_to_use].set(flat)
-        return full * self.norm_std + self.norm_mean
-
-    def _project(self, world_kps, extrinsics, intrinsics, image_size):
-        """world (B, T, K, 3) -> stickman-pixel coords (B, T, K, 2)."""
-        cam = apply_affine_transform(world_kps,
-                                     extrinsics[:, None, None, :, :])
-        # camera_projection consumes (..., K, 3); its params broadcast over
-        # the (B, T) batch dims, so intrinsics go in as (B, 1, 4)
-        px = camera_projection(cam, intrinsics[:, None, :])
-        scale = self.spatial_size / image_size  # (B, 2)
-        return px * scale[:, None, None, :]
-
-    @partial(jax.jit, static_argnames=("self", "length", "use_flow"))
-    def generate(self, params: Dict[str, Any], z, x_start, app_img,
-                 extrinsics, intrinsics, image_size, key,
-                 length: int = 50, use_flow: bool = True):
-        """Generate a behavior-transfer video.
-
-        Args:
-          params: {"behavior": net params, "vunet": vunet params,
-                   "flow": flow variables (params+buffers) or None}
-          z: (B, H) base-gaussian codes (or behavior latents when not
-             use_flow).
-          x_start: (B, K_norm) start posture (normalized coords).
-          app_img: (B, S, S, 3) appearance image in [-1, 1].
-          extrinsics: (B, 3, 4); intrinsics: (B, 4); image_size: (B, 2).
-          key: PRNG key for the VUNet encoder sampling.
-
-        Returns:
-          dict with "frames" (B, T, S, S, 3), "stickman", "poses_3d",
-          "keypoints_2d".
-        """
+    def _front_stages(self, params, z, x_start, app_img, extrinsics,
+                      intrinsics, image_size, key, length, use_flow):
+        """flow inverse -> decoder rollout -> unnormalize -> camera project
+        -> device stickman raster -> appearance encode (once per video)."""
         B = z.shape[0]
         if use_flow and self.flow_model is not None:
             b = self.flow_model.apply(params["flow"], z,
@@ -151,15 +119,81 @@ class BehaviorTransferPipeline:
             {"params": params["vunet"]}, app_img, rngs={"sample": key},
             method=self.vunet.encode_means)
         means_tiled = [jnp.repeat(m, length, axis=0) for m in means]
+        return world, px, stick, flat_stick, means_tiled
 
+    @partial(jax.jit, static_argnames=("self", "length", "use_flow"))
+    def calibrate(self, params, z, x_start, app_img, extrinsics, intrinsics,
+                  image_size, key, length: int = 50, use_flow: bool = True):
+        """One PTQ calibration pass for a quant="int8_static" vunet: runs
+        the real front stages so the per-conv activation scales see
+        production-distribution stickmen and latents, then folds their amax
+        into the "quant" collection.  Returns the calibrated collection —
+        pass it as params["vunet_quant"] to generate()."""
+        _, _, _, flat_stick, means_tiled = self._front_stages(
+            params, z, x_start, app_img, extrinsics, intrinsics, image_size,
+            key, length, use_flow)
+        vv = {"params": params["vunet"]}
+        if "vunet_quant" in params:
+            vv["quant"] = params["vunet_quant"]
+        _, mut = self.vunet.apply(vv, means_tiled, flat_stick,
+                                  mutable=["quant"],
+                                  method=self.vunet.transfer_cached)
+        return mut["quant"]
+
+    def _unnormalize(self, flat):
+        out_shape = flat.shape[:-1] + (self.full_dim,)
+        full = jnp.zeros(out_shape, flat.dtype)
+        full = full.at[..., self.dim_to_use].set(flat)
+        return full * self.norm_std + self.norm_mean
+
+    def _project(self, world_kps, extrinsics, intrinsics, image_size):
+        """world (B, T, K, 3) -> stickman-pixel coords (B, T, K, 2)."""
+        cam = apply_affine_transform(world_kps,
+                                     extrinsics[:, None, None, :, :])
+        # camera_projection consumes (..., K, 3); its params broadcast over
+        # the (B, T) batch dims, so intrinsics go in as (B, 1, 4)
+        px = camera_projection(cam, intrinsics[:, None, :])
+        scale = self.spatial_size / image_size  # (B, 2)
+        return px * scale[:, None, None, :]
+
+    @partial(jax.jit, static_argnames=("self", "length", "use_flow"))
+    def generate(self, params: Dict[str, Any], z, x_start, app_img,
+                 extrinsics, intrinsics, image_size, key,
+                 length: int = 50, use_flow: bool = True):
+        """Generate a behavior-transfer video.
+
+        Args:
+          params: {"behavior": net params, "vunet": vunet params,
+                   "flow": flow variables (params+buffers) or None,
+                   optional "vunet_quant": calibrated int8 scales for a
+                   quant="int8_static" vunet (models.vunet.calibrate_quant
+                   / BehaviorTransferPipeline.calibrate)}
+          z: (B, H) base-gaussian codes (or behavior latents when not
+             use_flow).
+          x_start: (B, K_norm) start posture (normalized coords).
+          app_img: (B, S, S, 3) appearance image in [-1, 1].
+          extrinsics: (B, 3, 4); intrinsics: (B, 4); image_size: (B, 2).
+          key: PRNG key for the VUNet encoder sampling.
+
+        Returns:
+          dict with "frames" (B, T, S, S, 3), "stickman", "poses_3d",
+          "keypoints_2d".
+        """
+        (world, px, stick, flat_stick, means_tiled) = self._front_stages(
+            params, z, x_start, app_img, extrinsics, intrinsics, image_size,
+            key, length, use_flow)
+        B = z.shape[0]
+
+        vv = {"params": params["vunet"]}
+        if "vunet_quant" in params:
+            vv["quant"] = params["vunet_quant"]
         n = B * length
         cs, n_pad = self._chunk_size(n)
         if cs == n:
             frames = self.vunet.apply(
-                {"params": params["vunet"]}, means_tiled, flat_stick,
+                vv, means_tiled, flat_stick,
                 method=self.vunet.transfer_cached)
         else:
-            vp = params["vunet"]
             pad = n_pad - n
             if pad:
                 # zero-pad the tail so chunks tile evenly; sliced off below
@@ -172,7 +206,7 @@ class BehaviorTransferPipeline:
 
             def synth_chunk(args):
                 m_c, s_c = args
-                return self.vunet.apply({"params": vp}, list(m_c), s_c,
+                return self.vunet.apply(vv, list(m_c), s_c,
                                         method=self.vunet.transfer_cached)
 
             m_chunked = tuple(

@@ -51,13 +51,18 @@ def bench_pipeline():
     B = int(os.environ.get("BENCH_BATCH", "20"))
     S = int(os.environ.get("BENCH_SPATIAL", "256"))
     T = int(os.environ.get("BENCH_LENGTH", "50"))
+    # BENCH_QUANT=int8_static: PTQ-calibrated int8 serving convs on the
+    # per-frame path (same params; ops/nn._conv_int8) — quality delta vs
+    # bf16 measured by examples/quant_ablation.py.  "int8" = dynamic
+    # scales (slower: extra max-reduce pass per conv).
+    quant = os.environ.get("BENCH_QUANT", "none")
     HID, K_FULL, K_USE = 1024, 51, 48
 
     jm = detailed_joint_model(world_coords=True)
     behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dtype=jnp.bfloat16)
+                  quant=quant, dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)
 
@@ -85,6 +90,13 @@ def bench_pipeline():
         np.hstack([np.eye(3), [[0], [0], [4.0]]]), jnp.float32), (B, 1, 1))
     intr = jnp.tile(jnp.asarray([1145.0, 500.0, 1143.0, 500.0]), (B, 1))
     imsize = jnp.full((B, 2), 1000.0)
+
+    if quant == "int8_static":
+        # one PTQ calibration pass on a 2-video slice of the same input
+        # distribution (small batch: calibration runs unchunked)
+        params["vunet_quant"] = pipe.calibrate(
+            params, z[:2], x_start[:2], app[:2], extr[:2], intr[:2],
+            imsize[:2], key, length=T)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
 

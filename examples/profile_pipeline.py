@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--length", type=int, default=50)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--quant", type=str, default="none",
+                    help="int8: dynamically-quantized serving convs")
     args = ap.parse_args()
     B, S, T = args.batch, args.spatial, args.length
     HID, K_FULL, K_USE = 1024, 51, 48
@@ -45,7 +47,7 @@ def main():
     behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dtype=jnp.bfloat16)
+                  quant=args.quant, dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)
     rng = np.random.RandomState(0)
@@ -68,6 +70,11 @@ def main():
         np.hstack([np.eye(3), [[0], [0], [4.0]]]), jnp.float32), (B, 1, 1))
     intr = jnp.tile(jnp.asarray([1145.0, 500.0, 1143.0, 500.0]), (B, 1))
     imsize = jnp.full((B, 2), 1000.0)
+
+    if args.quant == "int8_static":
+        params["vunet_quant"] = pipe.calibrate(
+            params, z[:2], x_start[:2], app[:2], extr[:2], intr[:2],
+            imsize[:2], key, length=T)
 
     def run(k):
         out = pipe.generate(params, z, x_start, app, extr, intr, imsize, k,

@@ -1,0 +1,122 @@
+"""Quantify the int8 serving path's quality delta at production size.
+
+Runs the production VUNet-256 (nf 32..128, alter) transfer on the same
+inputs in three precisions — f32 (reference), bf16 (the training/serving
+default), int8 (ops/nn._conv_int8 dynamic quantization) — with IDENTICAL
+f32 params, and reports each path's deviation from the f32 output:
+relative L2 error, PSNR, and SSIM.  The int8 path is an honest serving
+option only if its deviation is comparable to bf16's, which is already the
+accepted serving precision.
+
+Inputs: smooth synthetic appearance/stickman-like images (the model is
+random-init — the measurement characterizes NUMERICS of the conv stack, not
+trained-model fidelity; rerun with a trained checkpoint via --ckpt for the
+production number).
+
+Run: python examples/quant_ablation.py [--size 256] [--batch 8]
+Writes QUANT_ABLATION.json at the repo root.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _smooth_images(rng, b, s, scale=0.8):
+    """Band-limited random images in [-1, 1] (natural-image-like spectra)."""
+    small = rng.randn(b, s // 8, s // 8, 3).astype(np.float32)
+    img = jax.image.resize(jnp.asarray(small), (b, s, s, 3), "bilinear")
+    return jnp.tanh(img * scale)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--nf-start", type=int, default=32)
+    ap.add_argument("--nf-max", type=int, default=128)
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="optional orbax checkpoint dir with vunet params")
+    args = ap.parse_args()
+
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.metrics.ssim import ssim
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    x = _smooth_images(rng, args.batch, args.size)
+    c = _smooth_images(rng, args.batch, args.size)
+
+    kw = dict(spatial_size=args.size, nf_start=args.nf_start,
+              nf_max=args.nf_max, variant="alter")
+    models = {
+        "f32": VUNet(**kw, dtype=jnp.float32),
+        "bf16": VUNet(**kw, dtype=jnp.bfloat16),
+        "int8": VUNet(**kw, dtype=jnp.bfloat16, quant="int8"),
+        "int8_static": VUNet(**kw, dtype=jnp.bfloat16,
+                             quant="int8_static"),
+    }
+    variables = models["f32"].init({"params": key, "sample": key}, x, c)
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+        tree = ocp.PyTreeCheckpointer().restore(args.ckpt)
+        # accept either a bare vunet param tree or a train-state dict
+        # holding one under a "vunet"/"params" key
+        for k in ("vunet", "params"):
+            while isinstance(tree, dict) and k in tree:
+                tree = tree[k]
+        variables = {"params": tree}
+
+    rngs = {"sample": jax.random.PRNGKey(3)}
+    outs = {}
+    for name, m in models.items():
+        v = variables
+        if name == "int8_static":
+            # PTQ calibration pass on the same input distribution
+            _, mut = m.apply(v, x, c, rngs=rngs, mutable=["quant"],
+                             method=m.transfer)
+            v = {**v, **mut}
+        f = jax.jit(lambda v, x, c, m=m: m.apply(v, x, c, rngs=rngs,
+                                                 method=m.transfer))
+        outs[name] = np.asarray(f(v, x, c), np.float32)
+        print(f"{name}: output range [{outs[name].min():.3f}, "
+              f"{outs[name].max():.3f}]", flush=True)
+
+    ref = outs["f32"]
+    results = {}
+    for name in ("bf16", "int8", "int8_static"):
+        y = outs[name]
+        rel = float(np.linalg.norm(y - ref) / np.linalg.norm(ref))
+        mse = float(np.mean((y - ref) ** 2))
+        # outputs are unbounded pre-tanh image params; use the observed range
+        drange = float(ref.max() - ref.min())
+        psnr = float(10 * np.log10(drange ** 2 / max(mse, 1e-20)))
+        sv = float(np.mean(np.asarray(ssim(
+            jnp.asarray(y), jnp.asarray(ref), data_range=drange))))
+        results[name] = {"rel_l2_vs_f32": round(rel, 5),
+                         "psnr_db_vs_f32": round(psnr, 2),
+                         "ssim_vs_f32": round(sv, 5)}
+        print(f"{name} vs f32: rel_l2={rel:.5f} psnr={psnr:.2f} dB "
+              f"ssim={sv:.5f}", flush=True)
+
+    out = {"size": args.size, "batch": args.batch,
+           "trained_ckpt": bool(args.ckpt), "paths": results}
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "QUANT_ABLATION.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", os.path.abspath(path))
+
+
+if __name__ == "__main__":
+    main()
