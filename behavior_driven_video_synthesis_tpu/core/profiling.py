@@ -65,12 +65,16 @@ class StepTimer:
 
 def device_op_table(trace_dir: str, runs: int = 1,
                     device_substr: str = "TPU") -> List[Dict]:
-    """Aggregate per-op device time from a jax.profiler trace directory.
+    """Aggregate per-op device SELF time from a jax.profiler trace directory.
 
     Parses the trace.json.gz the profiler writes (works through the remote
     TPU relay, where xprof's UI is unavailable) and returns rows
-    [{"op", "us_per_run", "share"}] sorted by time, skipping the jit_*
-    umbrella events that double-count their children.
+    [{"op", "us_per_run", "share"}] sorted by time.  Events nest (a
+    `while` umbrella spans every op of its loop body; `jit_*` spans the
+    whole program), so naive duration sums double-count: this computes
+    per-event self time with an interval stack per (pid, tid) — each
+    event's duration minus its direct children's — which both removes the
+    double count and surfaces the ops *inside* while/scan loop bodies.
 
     Usage:
         with trace("/tmp/tr"):
@@ -81,7 +85,7 @@ def device_op_table(trace_dir: str, runs: int = 1,
     import glob
     import gzip
     import json
-    from collections import Counter
+    from collections import Counter, defaultdict
 
     paths = sorted(glob.glob(
         os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
@@ -92,13 +96,37 @@ def device_op_table(trace_dir: str, runs: int = 1,
     for e in data.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = str(e["args"].get("name"))
-    agg: Counter = Counter()
+    by_track = defaultdict(list)
+    meta: Dict[str, Dict] = {}
     for e in data.get("traceEvents", []):
         if e.get("ph") == "X" and device_substr in pids.get(e.get("pid"),
                                                            ""):
+            # jit_* module umbrellas live on their own track ("XLA Modules")
+            # where no leaf nests under them — self time there would
+            # double-count the whole program span
             if e["name"].startswith("jit_"):
                 continue
-            agg[e["name"]] += e.get("dur", 0)
+            by_track[(e.get("pid"), e.get("tid"))].append(
+                (float(e.get("ts", 0)), float(e.get("dur", 0)), e["name"]))
+            if e["name"] not in meta and isinstance(e.get("args"), dict):
+                meta[e["name"]] = {k: v for k, v in e["args"].items()
+                                   if isinstance(v, str) and v}
+    agg: Counter = Counter()
+    for events in by_track.values():
+        # parents first at equal start times (longer duration first)
+        events.sort(key=lambda t: (t[0], -t[1]))
+        stack: List[List] = []  # [ts, end, name, child_dur]
+        for ts, dur, name in events:
+            while stack and ts >= stack[-1][1] - 1e-9:
+                fin = stack.pop()
+                agg[fin[2]] += max(0.0, fin[1] - fin[0] - fin[3])
+            if stack:
+                stack[-1][3] += dur
+            stack.append([ts, ts + dur, name, 0.0])
+        while stack:
+            fin = stack.pop()
+            agg[fin[2]] += max(0.0, fin[1] - fin[0] - fin[3])
     total = sum(agg.values()) or 1
-    return [{"op": name, "us_per_run": us / runs, "share": us / total}
-            for name, us in agg.most_common()]
+    return [{"op": name, "us_per_run": us / runs, "share": us / total,
+             "meta": meta.get(name, {})}
+            for name, us in agg.most_common() if us > 0]

@@ -280,6 +280,7 @@ class VUNet(nn.Module):
     variant: str = "alter"  # "org" | "alter"
     dropout_prob: float = 0.0
     quant: str = "none"  # "int8": dynamically-quantized serving convs
+    quant_max_hw: int = 0  # skip quant for convs with input H above this
     dtype: Dtype = jnp.float32
 
     @property
@@ -305,7 +306,8 @@ class VUNet(nn.Module):
             # additionally needs a calibration pass (see calibrate()).
             assert conv_layer is NormConv2d, (
                 "quantized serving requires the l1 (NormConv2d) conv layer")
-            conv_layer_pf = partial(NormConv2d, quant=self.quant)
+            conv_layer_pf = partial(NormConv2d, quant=self.quant,
+                                    quant_max_hw=self.quant_max_hw)
         self.eu = EncUp(
             n_scales=self.n_scales_x, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer,

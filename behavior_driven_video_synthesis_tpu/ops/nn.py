@@ -134,15 +134,26 @@ class NormConv2d(nn.Module):
     #   (running amax updated whenever "quant" is mutable) — the serving
     #   mode: quantize fuses into the producer, zero extra bandwidth.
     quant: str = "none"
+    # Skip quantization for convs whose input height exceeds this (0 = no
+    # limit).  At the largest scale the quantize passes cost about as much
+    # HBM time as the int8 MXU rate saves (profiled: 256^2xC32 conv 2.6 ms
+    # int8 vs 4.1 ms bf16 per 125-frame chunk, but ~2.9 ms of marginal
+    # quantize/dequant passes), and those convs sit nearest the output
+    # where quantization error is most visible — so gating them off is
+    # quality-for-free at neutral speed.  Shapes are static under jit:
+    # this is a compile-time branch.
+    quant_max_hw: int = 0
     dtype: Dtype = jnp.float32
 
-    def _quant_active(self) -> bool:
+    def _quant_active(self, x) -> bool:
         """int8 serving quantization applies to the 3x3 workhorse convs
         only: 1x1 convs (latent heads, aux fusers, out heads) are cheap and
         numerically sensitive, and tiny-fan-out heads (features < 8, e.g.
         the RGB out conv) gain nothing on the MXU."""
         return (self.quant in ("int8", "int8_static")
-                and self.kernel_size >= 3 and self.features >= 8)
+                and self.kernel_size >= 3 and self.features >= 8
+                and (self.quant_max_hw <= 0
+                     or x.shape[1] <= self.quant_max_hw))
 
     def _act_scale(self, x, name: str):
         """Activation amax for the int8 path.  In "int8_static" mode a
@@ -191,7 +202,7 @@ class NormConv2d(nn.Module):
 
         v_norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
         kernel = v * (g / v_norm)
-        if self._quant_active():
+        if self._quant_active(x):
             if aux is None:
                 y = _conv_int8(x, kernel, bias, self.stride, self.padding,
                                self.dtype, ax=self._act_scale(x, "ax"))

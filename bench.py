@@ -56,13 +56,18 @@ def bench_pipeline():
     # bf16 measured by examples/quant_ablation.py.  "int8" = dynamic
     # scales (slower: extra max-reduce pass per conv).
     quant = os.environ.get("BENCH_QUANT", "none")
+    # BENCH_QUANT_MAX_HW=128: leave convs ABOVE this input height in bf16
+    # (top-scale quantize passes cost ~what the int8 MXU rate saves there,
+    # and the output-adjacent convs are the most quality-sensitive)
+    quant_max_hw = int(os.environ.get("BENCH_QUANT_MAX_HW", "0"))
     HID, K_FULL, K_USE = 1024, 51, 48
 
     jm = detailed_joint_model(world_coords=True)
     behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  quant=quant, dtype=jnp.bfloat16)
+                  quant=quant, quant_max_hw=quant_max_hw,
+                  dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)
 

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--quant", type=str, default="none",
                     help="int8: dynamically-quantized serving convs")
+    ap.add_argument("--quant-max-hw", type=int, default=0,
+                    help="skip quant for convs with input H above this")
     args = ap.parse_args()
     B, S, T = args.batch, args.spatial, args.length
     HID, K_FULL, K_USE = 1024, 51, 48
@@ -47,7 +49,8 @@ def main():
     behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  quant=args.quant, dtype=jnp.bfloat16)
+                  quant=args.quant, quant_max_hw=args.quant_max_hw,
+                  dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)
     rng = np.random.RandomState(0)
@@ -91,7 +94,10 @@ def main():
     print(f"total device us/run: {total_us:.0f}  "
           f"({B * T / (total_us / 1e6):.0f} frames/s device-side)")
     for r in rows[:args.top]:
-        print(f"{r['share']:6.1%}  {r['us_per_run']:10.0f} us  {r['op']}")
+        m = r.get("meta") or {}
+        tag = m.get("long_name") or m.get("tf_op") or m.get("name") or ""
+        print(f"{r['share']:6.1%}  {r['us_per_run']:10.0f} us  {r['op']}"
+              f"  {tag[:110]}")
 
 
 if __name__ == "__main__":

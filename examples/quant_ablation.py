@@ -65,6 +65,10 @@ def main():
         "int8": VUNet(**kw, dtype=jnp.bfloat16, quant="int8"),
         "int8_static": VUNet(**kw, dtype=jnp.bfloat16,
                              quant="int8_static"),
+        # the shipped serving config: static scales, top scale kept bf16
+        "int8_static_hw128": VUNet(**kw, dtype=jnp.bfloat16,
+                                   quant="int8_static",
+                                   quant_max_hw=args.size // 2),
     }
     variables = models["f32"].init({"params": key, "sample": key}, x, c)
     if args.ckpt:
@@ -81,7 +85,7 @@ def main():
     outs = {}
     for name, m in models.items():
         v = variables
-        if name == "int8_static":
+        if name.startswith("int8_static"):
             # PTQ calibration pass on the same input distribution
             _, mut = m.apply(v, x, c, rngs=rngs, mutable=["quant"],
                              method=m.transfer)
@@ -94,7 +98,8 @@ def main():
 
     ref = outs["f32"]
     results = {}
-    for name in ("bf16", "int8", "int8_static"):
+    for name in ("bf16", "int8", "int8_static",
+                 "int8_static_hw128"):
         y = outs[name]
         rel = float(np.linalg.norm(y - ref) / np.linalg.norm(ref))
         mse = float(np.mean((y - ref) ** 2))

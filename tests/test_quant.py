@@ -260,3 +260,52 @@ def test_pipeline_calibrate_and_generate_quant():
 
     assert outs["int8_static"].shape == outs["none"].shape
     assert _rel_err(outs["int8_static"], outs["none"]) < 0.2
+
+
+class TestQuantMaxHW:
+    """quant_max_hw gates quantization by input spatial size: convs above
+    the threshold are bit-identical to the unquantized path (profiled: at
+    the top VUNet scale the quantize passes cost ~the int8 MXU saving)."""
+
+    def _pair(self, hw, max_hw):
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, hw, hw, 8), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        m_f = NormConv2d(16, kernel_size=3, padding=1)
+        m_q = NormConv2d(16, kernel_size=3, padding=1, quant="int8",
+                         quant_max_hw=max_hw)
+        v = m_f.init(key, x)
+        return np.asarray(m_q.apply(v, x)), np.asarray(m_f.apply(v, x))
+
+    def test_above_threshold_bit_identical(self):
+        yq, yf = self._pair(hw=16, max_hw=8)
+        np.testing.assert_array_equal(yq, yf)
+
+    def test_at_or_below_threshold_quantizes(self):
+        yq, yf = self._pair(hw=8, max_hw=8)
+        assert not np.array_equal(yq, yf)
+        assert _rel_err(yq, yf) < 0.05
+
+    def test_zero_means_no_limit(self):
+        yq, yf = self._pair(hw=16, max_hw=0)
+        assert not np.array_equal(yq, yf)
+
+    def test_vunet_gated_quant_runs(self):
+        """A VUNet with quant_max_hw set still calibrates + serves; the
+        quant collection only holds scales for gated-in convs."""
+        key = jax.random.PRNGKey(0)
+        model = VUNet(spatial_size=32, nf_start=4, nf_max=8,
+                      variant="alter", quant="int8_static", quant_max_hw=16)
+        x = jnp.zeros((2, 32, 32, 3))
+        variables = model.init({"params": key, "sample": key}, x, x)
+        means, _ = model.apply(variables, x, rngs={"sample": key},
+                               method=model.encode_means)
+        from behavior_driven_video_synthesis_tpu.models.vunet import (
+            calibrate_quant,
+        )
+        cal = calibrate_quant(model, variables, list(means), x)
+        assert "quant" in cal
+        out = model.apply(cal, list(means), x,
+                          method=model.transfer_cached)
+        assert out.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()

@@ -83,3 +83,43 @@ def test_device_op_table_parses_cpu_trace(tmp_path):
     rows = device_op_table(str(tmp_path), runs=1, device_substr="")
     assert rows and all({"op", "us_per_run", "share"} <= set(r) for r in rows)
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_device_op_table_self_time_nesting(tmp_path):
+    """Nested events (while umbrella over loop-body ops, jit_ over all)
+    must not double-count: the parser reports SELF time, so the umbrella
+    contributes only its non-child gap and totals equal wall span."""
+    import gzip
+    import json
+    import os
+
+    from behavior_driven_video_synthesis_tpu.core.profiling import (
+        device_op_table,
+    )
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(d)
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        # jit umbrella [0, 100)
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 0, "dur": 100, "name": "jit_f"},
+        # while umbrella [10, 90) with two conv children per "iteration"
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 10, "dur": 80,
+         "name": "while.1"},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 10, "dur": 30, "name": "conv"},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 40, "dur": 30, "name": "conv"},
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 70, "dur": 10, "name": "copy"},
+        # sibling op after the loop
+        {"ph": "X", "pid": 1, "tid": 1, "ts": 90, "dur": 10, "name": "add"},
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    rows = {r["op"]: r["us_per_run"]
+            for r in device_op_table(str(tmp_path), runs=1)}
+    assert rows["conv"] == 60
+    assert rows["copy"] == 10
+    assert rows["add"] == 10
+    assert rows["while.1"] == 10  # 80 - 70 of children
+    assert "jit_f" not in rows  # module umbrella skipped entirely
+    assert sum(rows.values()) == 90  # leaf span only: no double count
