@@ -93,6 +93,7 @@ class EncDown(nn.Module):
     variant: str = "org"  # "org": fixed std 1 | "alter": learned logstd
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
+    upsample_transpose: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -132,7 +133,9 @@ class EncDown(nn.Module):
             hs.append(h)
 
             h = Upsample(features=nf, subpixel=True,
-                         conv_layer=self.conv_layer, dtype=self.dtype)(h)
+                         conv_layer=self.conv_layer,
+                         transpose=self.upsample_transpose,
+                         dtype=self.dtype)(h)
 
         h = VunetRNB(channels=nf, residual=True, conv_layer=self.conv_layer,
                      dropout_prob=self.dropout_prob,
@@ -155,6 +158,7 @@ class DecDown(nn.Module):
     variant: str = "org"  # "org": 4-group AR prior | "alter": plain injection
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
+    upsample_transpose: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -208,6 +212,7 @@ class DecDown(nn.Module):
                             or i < self.n_latent_scales)
                 h = Upsample(features=out_c, subpixel=subpixel,
                              conv_layer=self.conv_layer,
+                             transpose=subpixel and self.upsample_transpose,
                              dtype=self.dtype)(h)
                 nf = out_c
 
@@ -281,6 +286,9 @@ class VUNet(nn.Module):
     dropout_prob: float = 0.0
     quant: str = "none"  # "int8": dynamically-quantized serving convs
     quant_max_hw: int = 0  # skip quant for convs with input H above this
+    # Fuse subpixel upsamples into transposed convs (same params/numerics,
+    # skips the depth_to_space relayout copies; needs the l1 conv layer)
+    upsample_transpose: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -313,10 +321,14 @@ class VUNet(nn.Module):
             nf_max=self.nf_max, conv_layer=conv_layer,
             dropout_prob=self.dropout_prob, dtype=self.dtype,
         )
+        if self.upsample_transpose:
+            assert conv_layer is NormConv2d, (
+                "upsample_transpose requires the l1 (NormConv2d) conv layer")
         self.ed = EncDown(
             nf=self.nf_max, n_latent_scales=self.n_latent_scales,
             variant=self.variant, conv_layer=conv_layer,
-            dropout_prob=self.dropout_prob, dtype=self.dtype,
+            dropout_prob=self.dropout_prob,
+            upsample_transpose=self.upsample_transpose, dtype=self.dtype,
         )
         self.du = EncUp(
             n_scales=self.n_scales, nf_start=self.nf_start,
@@ -329,7 +341,8 @@ class VUNet(nn.Module):
             n_latent_scales=self.n_latent_scales,
             subpixel_upsampling=self.subpixel_upsampling,
             variant=self.variant, conv_layer=conv_layer_pf,
-            dropout_prob=self.dropout_prob, dtype=self.dtype,
+            dropout_prob=self.dropout_prob,
+            upsample_transpose=self.upsample_transpose, dtype=self.dtype,
         )
 
     def __call__(self, x, c, *, train: bool = False):

@@ -73,6 +73,41 @@ def _conv(x, kernel, bias, stride, padding, dtype):
     return y
 
 
+def _conv_d2s_transpose(x, kernel, dtype):
+    """depth_to_space(conv(x, kernel, pad=1), 2) as ONE transposed conv.
+
+    The subpixel upsample (conv to 4C then pixel shuffle; reference
+    lib/modules.py:164-182) emits its output in a (H, W, 2, 2, C)-factored
+    channel layout that XLA must physically relayout to (2H, 2W, C) — the
+    depth_to_space copies are ~8% of pipeline device time (profiled).  The
+    identical map is a stride-2 transposed conv with a 6x6 kernel whose
+    (u, v) tap holds W[p, q, :, (i*2+j)*C + c] for i = (u+1)%2,
+    p = (u-1+i)//2 (each output-parity phase reads its own 3x3 of the
+    original kernel), lowered here as an input-dilated conv — the
+    interleaved output is produced directly, no relayout.  Exact: conv is
+    linear and every (u, v) tap maps to exactly one (p, q, i, j).
+    """
+    _, _, cin, c4 = kernel.shape
+    c = c4 // 4
+    u = jnp.arange(6)
+    i = (u + 1) % 2
+    p = (u - 1 + i) // 2
+    kr = kernel.reshape(3, 3, cin, 2, 2, c)
+    # non-adjacent advanced indices -> broadcast dims (6, 6) move to the
+    # front, slices (cin, c) follow: (6, 6, cin, c)
+    k6 = kr[p[:, None], p[None, :], :, i[:, None], i[None, :], :]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k6.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k6.astype(dtype),
+        window_strides=(1, 1),
+        padding=[(3, 3), (3, 3)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=dn,
+    )
+
+
 def _conv_int8(x, kernel, bias, stride, padding, dtype, ax=None):
     """int8-quantized conv: per-tensor symmetric activation scale, per-
     output-channel symmetric weight scale, int8 x int8 -> int32 on the MXU
@@ -143,6 +178,11 @@ class NormConv2d(nn.Module):
     # quality-for-free at neutral speed.  Shapes are static under jit:
     # this is a compile-time branch.
     quant_max_hw: int = 0
+    # Fuse a trailing depth_to_space(., 2) into the conv as a transposed
+    # conv (see _conv_d2s_transpose).  Param shapes are UNCHANGED
+    # (features = 4*C_out), so checkpoints are interchangeable with the
+    # subpixel formulation; the affine epilogue becomes parity-positional.
+    d2s_transpose: bool = False
     dtype: Dtype = jnp.float32
 
     def _quant_active(self, x) -> bool:
@@ -151,6 +191,7 @@ class NormConv2d(nn.Module):
         numerically sensitive, and tiny-fan-out heads (features < 8, e.g.
         the RGB out conv) gain nothing on the MXU."""
         return (self.quant in ("int8", "int8_static")
+                and not self.d2s_transpose
                 and self.kernel_size >= 3 and self.features >= 8
                 and (self.quant_max_hw <= 0
                      or x.shape[1] <= self.quant_max_hw))
@@ -202,6 +243,22 @@ class NormConv2d(nn.Module):
 
         v_norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
         kernel = v * (g / v_norm)
+        if self.d2s_transpose:
+            assert (aux is None and self.stride == 1
+                    and self.kernel_size == 3 and self.padding == 1
+                    and self.features % 4 == 0), (
+                "d2s_transpose supports the subpixel-upsample conv shape "
+                "only (3x3, stride 1, pad 1, features divisible by 4)")
+            y = _conv_d2s_transpose(x, kernel, self.dtype)
+            n, h2, w2, c = y.shape
+            # channel g = (i*2+j)*C + cc of the subpixel conv lands at
+            # output parity (i, j): the per-4C affine becomes positional
+            def par(pv):
+                return pv.reshape(2, 2, c)[None, None, :, None, :, :] \
+                    .astype(self.dtype)
+            y = y.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
+            y = par(gamma) * (y + par(bias)) + par(beta)
+            return y.reshape(n, h2, w2, c)
         if self._quant_active(x):
             if aux is None:
                 y = _conv_int8(x, kernel, bias, self.stride, self.padding,
@@ -346,16 +403,27 @@ class Downsample(nn.Module):
 
 class Upsample(nn.Module):
     """2x upsample: subpixel (conv to 4*C then depth-to-space) or
-    conv + bilinear resize."""
+    conv + bilinear resize.
+
+    transpose=True computes the identical subpixel map as one transposed
+    conv (NormConv2d.d2s_transpose), skipping the depth_to_space relayout.
+    Same param tree either way (flax names by class, and the kernel keeps
+    its (3, 3, cin, 4C) shape), so the flag can be flipped on any
+    checkpoint."""
 
     features: int
     subpixel: bool = True
     conv_layer: Callable = NormConv2d
+    transpose: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         if self.subpixel:
+            if self.transpose:
+                return self.conv_layer(4 * self.features, kernel_size=3,
+                                       padding=1, d2s_transpose=True,
+                                       dtype=self.dtype)(x)
             y = self.conv_layer(4 * self.features, kernel_size=3, padding=1,
                                 dtype=self.dtype)(x)
             return depth_to_space(y, 2)

@@ -60,6 +60,9 @@ def bench_pipeline():
     # (top-scale quantize passes cost ~what the int8 MXU rate saves there,
     # and the output-adjacent convs are the most quality-sensitive)
     quant_max_hw = int(os.environ.get("BENCH_QUANT_MAX_HW", "0"))
+    # BENCH_UPSAMPLE=transpose: lower subpixel upsamples as transposed
+    # convs (identical numerics, skips depth_to_space relayout copies)
+    ups_transpose = os.environ.get("BENCH_UPSAMPLE", "") == "transpose"
     HID, K_FULL, K_USE = 1024, 51, 48
 
     jm = detailed_joint_model(world_coords=True)
@@ -67,7 +70,7 @@ def bench_pipeline():
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   quant=quant, quant_max_hw=quant_max_hw,
-                  dtype=jnp.bfloat16)
+                  upsample_transpose=ups_transpose, dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)
 

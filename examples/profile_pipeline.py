@@ -41,6 +41,8 @@ def main():
                     help="int8: dynamically-quantized serving convs")
     ap.add_argument("--quant-max-hw", type=int, default=0,
                     help="skip quant for convs with input H above this")
+    ap.add_argument("--upsample-transpose", action="store_true",
+                    help="lower subpixel upsamples as transposed convs")
     args = ap.parse_args()
     B, S, T = args.batch, args.spatial, args.length
     HID, K_FULL, K_USE = 1024, 51, 48
@@ -50,6 +52,7 @@ def main():
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   quant=args.quant, quant_max_hw=args.quant_max_hw,
+                  upsample_transpose=args.upsample_transpose,
                   dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)

@@ -231,3 +231,66 @@ class TestBlocks:
         p = net.init(jax.random.PRNGKey(0), x)
         y = net.apply(p, x)
         assert y.shape == (4, 6)
+
+
+class TestSubpixelTranspose:
+    """Upsample(transpose=True) fuses the depth_to_space into a transposed
+    conv — identical params, identical map (ops/nn._conv_d2s_transpose)."""
+
+    def _upsample_pair(self, rng, h=8, cin=6, cout=4):
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        up = Upsample(features=cout, subpixel=True)
+        up_t = Upsample(features=cout, subpixel=True, transpose=True)
+        p = up.init(jax.random.PRNGKey(0), x)
+        # mutate params away from the benign init state (gamma=1, beta=0,
+        # bias=0) so the positional epilogue is actually exercised
+        cp = jax.tree_util.tree_map(lambda a: np.array(a), p)
+        cp["params"]["NormConv2d_0"]["bias"] += \
+            rng.randn(4 * cout).astype(np.float32)
+        cp["params"]["NormConv2d_0"]["gamma"] *= \
+            (1 + 0.3 * rng.randn(4 * cout).astype(np.float32))
+        cp["params"]["NormConv2d_0"]["beta"] += \
+            rng.randn(4 * cout).astype(np.float32)
+        return x, up, up_t, cp, p
+
+    def test_same_param_tree(self, rng):
+        x, up, up_t, _, p = self._upsample_pair(rng)
+        p_t = up_t.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(p) == \
+            jax.tree_util.tree_structure(p_t)
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(p_t)):
+            assert a.shape == b.shape
+
+    def test_matches_subpixel_exactly(self, rng):
+        x, up, up_t, cp, _ = self._upsample_pair(rng)
+        y = np.asarray(up.apply(cp, x))
+        y_t = np.asarray(up_t.apply(cp, x))
+        assert y_t.shape == y.shape
+        np.testing.assert_allclose(y_t, y, atol=2e-5, rtol=1e-5)
+
+    def test_odd_spatial(self, rng):
+        x, up, up_t, cp, _ = self._upsample_pair(rng, h=7)
+        np.testing.assert_allclose(np.asarray(up_t.apply(cp, x)),
+                                   np.asarray(up.apply(cp, x)),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_vunet_transfer_matches(self, rng):
+        """Flipping upsample_transpose on a whole VUNet changes nothing
+        but the lowering: same variables, same transfer output."""
+        from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+
+        key = jax.random.PRNGKey(0)
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        kw = dict(spatial_size=32, nf_start=4, nf_max=8, variant="alter")
+        m = VUNet(**kw)
+        m_t = VUNet(**kw, upsample_transpose=True)
+        v = m.init({"params": key, "sample": key}, x, x)
+        outs = []
+        for mod in (m, m_t):
+            outs.append(np.asarray(mod.apply(
+                v, x, x, rngs={"sample": key}, method=mod.transfer)))
+        # identical math, different float reassociation; random-init
+        # activations reach ~1e3, so scale the tolerance to the output
+        tol = 1e-5 * float(np.abs(outs[0]).max())
+        np.testing.assert_allclose(outs[1], outs[0], atol=tol, rtol=1e-4)
