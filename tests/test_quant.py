@@ -309,3 +309,31 @@ class TestQuantMaxHW:
                           method=model.transfer_cached)
         assert out.shape == (2, 32, 32, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quant_composes_with_upsample_transpose():
+    """int8_static serving + transposed-conv upsamples compose: the
+    upsample convs themselves stay full precision (d2s_transpose excludes
+    them from quant), everything else calibrates and serves int8."""
+    key = jax.random.PRNGKey(0)
+    kw = dict(spatial_size=32, nf_start=4, nf_max=8, variant="alter")
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 32, 32, 3),
+                    jnp.float32)
+    m_ref = VUNet(**kw)
+    v = m_ref.init({"params": key, "sample": key}, x, x)
+    ref = np.asarray(m_ref.apply(v, x, x, rngs={"sample": key},
+                                 method=m_ref.transfer))
+
+    m_q = VUNet(**kw, quant="int8_static", upsample_transpose=True)
+    means, _ = m_q.apply(v, x, rngs={"sample": key},
+                         method=m_q.encode_means)
+    from behavior_driven_video_synthesis_tpu.models.vunet import (
+        calibrate_quant,
+    )
+    cal = calibrate_quant(m_q, v, list(means), x)
+    out = np.asarray(m_q.apply(cal, x, x, rngs={"sample": key},
+                               method=m_q.transfer))
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.2, rel
