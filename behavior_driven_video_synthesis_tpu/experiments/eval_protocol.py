@@ -86,6 +86,12 @@ def train_posthoc_classifiers(key, real_seqs: np.ndarray,
       ``loss_regressor_t{t}``: mean ||reg(mu) - x_t|| over the cache.
       ``DE_t{t}``: mean ||x_cross[:, t] - x_orig[:, t]|| start-pose drift.
 
+    NOTE the classifier inputs do NOT depend on t — in the reference too,
+    only the regressor target (x_orig[:, start]) and DE vary per start
+    (behavior_net.py:1375,1481); the per-start classifier scores are
+    independent retrainings (fresh init + data order), i.e. S random
+    restarts of the same problem, and we reproduce exactly that.
+
     Un-suffixed keys hold the means over starts. All starts train
     simultaneously under one vmap inside a single jitted fori_loop — the
     TPU-native replacement of the reference's 6x sequential retraining

@@ -323,10 +323,17 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
         return sorted(int(d) for d in os.listdir(ckpt_role)
                       if d.isdigit())
 
-    # run 1: kill as soon as the first checkpoint lands
-    p = subprocess.Popen([sys.executable, "-c", code,
-                          "--config", cfg_path],
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    # run 1: kill as soon as the first checkpoint lands.  stdout goes to a
+    # FILE, not a PIPE: nothing drains a pipe while we poll the ckpt dir,
+    # and once the 64 KB pipe buffer fills the training subprocess blocks
+    # in write() forever (observed: main thread in anon_pipe_write, no
+    # checkpoint, timeout) — the logging volume crossed that line when the
+    # eval-cap log lines were added.
+    out_path = os.path.join(str(tmp_path), "run1.out")
+    with open(out_path, "wb") as out_f:
+        p = subprocess.Popen([sys.executable, "-c", code,
+                              "--config", cfg_path],
+                             stdout=out_f, stderr=subprocess.STDOUT)
     t0 = time.time()
     try:
         while time.time() - t0 < 900:
@@ -337,9 +344,8 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
                 break
             time.sleep(0.5)
         if not steps_on_disk():
-            out = b""
-            if p.poll() is not None:
-                out = p.stdout.read() if p.stdout else b""
+            with open(out_path, "rb") as f:
+                out = f.read()
             raise AssertionError(
                 f"no checkpoint appeared before timeout; rc={p.poll()}; "
                 f"output tail: {out[-3000:]!r}")
