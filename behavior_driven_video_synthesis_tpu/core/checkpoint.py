@@ -24,12 +24,36 @@ def _manager(directory: str, max_to_keep: int = 3):
 
 
 class CheckpointManager:
-    """One role (model family) per instance; steps index the saves."""
+    """One role (model family) per instance; steps index the saves.
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    ``async_save=True`` overlaps the disk write with training: ``save``
+    returns as soon as the state is snapshotted (orbax's async
+    checkpointer copies device arrays before returning), and the write
+    completes on a background thread.  ``flush()``/``close()`` (and the
+    next ``save``, internally serialized by orbax) join it.  Restores
+    always see a complete checkpoint: orbax commits atomically via a
+    rename, so a crash mid-write leaves only the previous step visible.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
+        self.async_save = bool(async_save)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = _manager(self.directory, max_to_keep)
+        if self.async_save:
+            # join any in-flight write before interpreter shutdown tears
+            # down orbax's background executors (atexit runs before
+            # threading/executor shutdown, so the commit can still finish)
+            import atexit
+
+            atexit.register(self._atexit_flush)
+
+    def _atexit_flush(self):
+        try:
+            self._mgr.wait_until_finished()
+        except Exception:
+            pass  # already closed / nothing in flight
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         import orbax.checkpoint as ocp
@@ -39,8 +63,13 @@ class CheckpointManager:
         saved = self._mgr.save(int(step),
                                args=ocp.args.StandardSave(state),
                                force=force)
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         return bool(saved)
+
+    def flush(self):
+        """Join any in-flight async save."""
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -59,4 +88,5 @@ class CheckpointManager:
         return state, int(step)
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -53,8 +53,13 @@ class Experiment:
 
     def ckpt_manager(self, role: str, max_to_keep: int = 3
                      ) -> CheckpointManager:
+        # logging.async_ckpt: overlap checkpoint writes with training
+        # (orbax async save; commits are atomic, restart sees only
+        # complete checkpoints)
         return CheckpointManager(
-            os.path.join(self.dirs["ckpt"], role), max_to_keep=max_to_keep)
+            os.path.join(self.dirs["ckpt"], role), max_to_keep=max_to_keep,
+            async_save=bool(self.config.get("logging", {}).get(
+                "async_ckpt", False)))
 
     def maybe_restore(self, role: str, template):
         """Restore latest state for role if a checkpoint exists."""

@@ -217,6 +217,8 @@ class BehaviorNetExperiment(Experiment):
                 print(f"flow KS logging skipped: {e}")
             self.logger.log(flow_logs, fstep, prefix="flow/")
             fmgr.save(fstep, jax.device_get(fstate))
+        mgr.flush()
+        fmgr.flush()  # join in-flight async writes before returning
         return state, fstate
 
     # -- helpers ------------------------------------------------------------

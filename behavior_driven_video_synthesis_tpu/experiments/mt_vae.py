@@ -64,6 +64,7 @@ class MTVAEExperiment(Experiment):
                     norm_stats=meta.get("norm_stats"),
                     tag=f"e{epoch:03d}_")
             mgr.save(step, jax.device_get(state))
+        mgr.flush()  # join in-flight async writes before returning
         return state
 
     def run_inference(self, n_samples: int = 50, max_batches: int = 20):

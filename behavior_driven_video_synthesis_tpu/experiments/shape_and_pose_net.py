@@ -224,6 +224,7 @@ class ShapePoseExperiment(Experiment):
                 if it >= end_iteration:
                     break
         mgr.save(it, jax.device_get(state), force=True)
+        mgr.flush()  # join in-flight async writes before returning
         return state
 
     def _make_step(self, vunet, regressor, vgg, vgg_vars, txs,

@@ -384,6 +384,45 @@ def main():
     }))
 
 
+def _wait_for_healthy_relay(budget_s: int) -> bool:
+    """The TPU relay wedges transiently (ROADMAP.md: even jnp.sum hangs;
+    self-recovers after ~15-30 min idle).  Probe it with a tiny op in a
+    SUBPROCESS (a wedged in-process fetch blocks in C and can dodge
+    SIGALRM), and wait-and-retry until it answers or the budget is spent.
+    Returns True if the relay answered."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: jnp.sum(x * 2))"
+        "(jnp.ones((256, 256)))))"
+    )
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=240,
+                capture_output=True, text=True,
+                env={**os.environ, "JAX_PLATFORMS": ""},
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# relay healthy after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return True
+            err = (r.stderr or "").strip().splitlines()
+            print(f"# relay probe {attempt} rc={r.returncode} "
+                  f"{err[-1] if err else ''}", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# relay probe {attempt} timed out (240s) — wedged",
+                  file=sys.stderr, flush=True)
+        if time.time() + 300 > deadline:
+            return False
+        time.sleep(300)  # idle time is what un-wedges the relay
+
+
 def _watchdog(seconds: int):
     """The TPU relay in this environment can wedge (even trivial ops hang).
     Abort with a diagnostic instead of stalling the driver forever; never
@@ -408,5 +447,20 @@ def _watchdog(seconds: int):
 
 
 if __name__ == "__main__":
+    # wait out a transiently wedged relay BEFORE arming the bench watchdog
+    # (probing costs nothing when healthy: one tiny-op subprocess)
+    probe_budget = int(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+    if probe_budget > 0 and not _wait_for_healthy_relay(probe_budget):
+        print(json.dumps({
+            "metric": "bench_error",
+            "value": None,
+            "unit": "n/a",
+            "vs_baseline": None,
+            "error": f"TPU relay unresponsive to tiny-op probes for "
+                     f"{probe_budget}s (see ROADMAP.md environment notes); "
+                     "last known-good: pipeline 2361 frames/sec/chip "
+                     "(B=20, honest feedback-loop timing)",
+        }), flush=True)
+        sys.exit(3)
     _watchdog(int(os.environ.get("BENCH_WATCHDOG_S", "1500")))
     main()

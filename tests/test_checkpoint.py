@@ -53,6 +53,24 @@ class TestCheckpointManager:
         steps = mgr._mgr.all_steps()
         assert len(steps) <= 2 and max(steps) == 4
 
+    def test_async_save_restore(self, tmp_path):
+        """async_save returns before the write completes; flush() joins it
+        and the restored state is byte-identical."""
+        s1, tx = _make_state(5)
+        s2, _ = _make_state(6)
+        mgr = CheckpointManager(str(tmp_path / "role"), async_save=True)
+        assert mgr.save(1, s1)
+        assert mgr.save(2, s2)  # orbax serializes with the pending save
+        mgr.flush()
+        restored, step = mgr.restore_latest(s1)
+        assert step == 2
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.asarray(s2.params["w"]))
+        mgr.close()
+        # a fresh manager (fresh process stand-in) sees both commits
+        mgr2 = CheckpointManager(str(tmp_path / "role"))
+        assert mgr2.latest_step() == 2
+
     def test_apply_gradients_enable_switch(self):
         state, tx = _make_state(4)
         grads = jax.tree_util.tree_map(jnp.ones_like, state.params)

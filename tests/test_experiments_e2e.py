@@ -261,12 +261,19 @@ def test_vunet_org_cli_train_and_fid(tmp_path):
     assert len(fids) >= 2 and all(np.isfinite(f) for f in fids)
 
 
-def test_cvbae_kill_and_restart_resume(tmp_path):
+@pytest.mark.parametrize("async_ckpt", [False, True],
+                         ids=["sync", "async"])
+def test_cvbae_kill_and_restart_resume(tmp_path, async_ckpt):
     """SIGKILL a cvbae CLI training run mid-way, restart with --restart,
     and verify step / gamma / optimizer continuity (SURVEY §5.3: the
     reference's trickiest recovery behavior — restart reloads the dumped
     config, picks the newest checkpoint, restores optimizer state, and
-    resumes the remaining budget)."""
+    resumes the remaining budget).
+
+    The async variant additionally proves commit atomicity under SIGKILL:
+    whatever the kill interrupts, a restart only ever sees either a
+    complete checkpoint or none at all (then trains from scratch).
+    """
     import signal
     import subprocess
     import sys
@@ -305,7 +312,7 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
         },
         "metrics": {"n_it_metrics": 1000},
         "logging": {"log_steps": 1000, "ckpt_steps": 5,
-                    "metrics_every": 1},
+                    "metrics_every": 1, "async_ckpt": async_ckpt},
     }
     cfg_path = _write_cfg(tmp_path, "killtest", cfg)
 
@@ -364,6 +371,17 @@ def test_cvbae_kill_and_restart_resume(tmp_path):
     # SIGKILL can land mid-save and leave a partial step dir that listdir
     # sees but orbax ignores — use orbax's view of the latest COMPLETE step
     k1 = CheckpointManager(ckpt_role).latest_step()
+    if async_ckpt and k1 is None:
+        # the kill interrupted the FIRST async commit; atomicity means no
+        # partial checkpoint is visible and a restart trains from scratch
+        r = subprocess.run([sys.executable, "-c", code, "--config",
+                            cfg_path, "--restart"], capture_output=True,
+                           text=True, timeout=900)
+        assert r.returncode == 0, (r.stdout or "")[-2000:] + \
+            r.stderr[-2000:]
+        assert "Restored reg_ckpt" not in (r.stdout or "")
+        assert CheckpointManager(ckpt_role).latest_step() == end_iteration
+        return
     assert k1 and k1 > 0
     if k1 >= end_iteration:
         import pytest
