@@ -1,12 +1,25 @@
 """Packed-matmul fused RNB Pallas kernel: exactness vs the flax VunetRNB
-across channel widths (interpret mode on the CPU mesh)."""
+across channel widths (interpret mode on the CPU mesh).
+
+Run from the repo root: python -m pytest attic/test_pallas_rnb.py
+(the kernel module lives beside this file, not in the package tree).
+"""
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # interpret-mode kernel test
+
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
 import pytest
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from behavior_driven_video_synthesis_tpu.ops.nn import VunetRNB
-from behavior_driven_video_synthesis_tpu.ops.pallas.rnb import (
+from pallas_rnb import (
     build_block_matrices,
     fused_rnb,
     rnb_reference,

@@ -269,11 +269,8 @@ class BehaviorNetExperiment(Experiment):
             apps, extrs, intrs, sizes = [], [], [], []
             for i in range(n):
                 try:
+                    # get_synth_input resizes the appearance to `spatial`
                     app, extr, intr, imsize = get_synth_input(ds, i, spatial)
-                    if app.shape[0] != spatial:
-                        import cv2
-
-                        app = cv2.resize(app, (spatial, spatial))
                 except Exception:
                     app = np.zeros((spatial, spatial, 3), np.float32)
                     extr = np.asarray(ds.datadict["extrinsics_univ"][i],
@@ -320,15 +317,12 @@ class BehaviorNetExperiment(Experiment):
         # enrollment rows = every DISTINCT camera when the dataset has them
         # (reference all_cameras=True); fall back to the sampled inputs
         try:
-            cam_in = get_synth_input_all_cameras(meta.get("dataset"))
-            import cv2
-
-            S = apps.shape[1]
-            cam_apps = np.stack([
-                a if a.shape[0] == S else cv2.resize(a, (S, S))
-                for a in cam_in[0]])
-            apps_e, extrs_e, intrs_e, sizes_e = (cam_apps,) + cam_in[1:]
-        except Exception:
+            cam_in = get_synth_input_all_cameras(
+                meta.get("dataset"), spatial_size=apps.shape[1])
+            apps_e, extrs_e, intrs_e, sizes_e = cam_in
+        except Exception as e:  # noqa: BLE001 — figures must not kill runs
+            print(f"all-camera synth input unavailable ({e}); enrollment "
+                  f"figure falls back to the sampled inputs")
             apps_e, extrs_e, intrs_e, sizes_e = apps, extrs, intrs, sizes
         paths.update({f"enroll_{k}": v for k, v in make_enrollment_figures(
             pipe, params, kps[0, :-1], kps[min(1, len(kps) - 1), 0],
@@ -565,7 +559,7 @@ class BehaviorNetExperiment(Experiment):
             return xc, x_self, xp, mu, mu_re, mu_rel, b
 
         caches = {k: [] for k in ["orig", "prior", "cross", "self",
-                                  "flow", "mu", "z", "labels", "start"]}
+                                  "flow", "mu", "z", "labels"]}
         n_cached = 0
         for batch in test_loader:
             batch = self._prep_batch(batch, meta)
@@ -578,7 +572,6 @@ class BehaviorNetExperiment(Experiment):
             caches["prior"].append(np.asarray(xp))
             caches["mu"].append(np.asarray(mu))
             caches["labels"].append(np.asarray(batch["action"]))
-            caches["start"].append(np.asarray(kps[:, 0]))
             caches.setdefault("mu_re", []).append(np.asarray(mu_re))
             caches.setdefault("mu_rel", []).append(np.asarray(mu_rel))
             if flow_variables is not None:

@@ -65,7 +65,6 @@ DEFAULT_PROBE_STARTS = (0, 10, 20, 30, 40, 49)
 def train_posthoc_classifiers(key, real_seqs: np.ndarray,
                               fake_sets: Dict[str, np.ndarray],
                               mu: Optional[np.ndarray] = None,
-                              start_pose: Optional[np.ndarray] = None,
                               starts=DEFAULT_PROBE_STARTS,
                               n_iters: int = 2000, batch_size: int = 256,
                               lr: float = 1e-3) -> Dict[str, float]:
@@ -89,8 +88,9 @@ def train_posthoc_classifiers(key, real_seqs: np.ndarray,
     NOTE the classifier inputs do NOT depend on t — in the reference too,
     only the regressor target (x_orig[:, start]) and DE vary per start
     (behavior_net.py:1375,1481); the per-start classifier scores are
-    independent retrainings (fresh init + data order), i.e. S random
-    restarts of the same problem, and we reproduce exactly that.
+    independent retrainings (fresh init AND independent data order — each
+    start folds its own batch-index key), i.e. S random restarts of the
+    same problem, and we reproduce exactly that.
 
     Un-suffixed keys hold the means over starts. All starts train
     simultaneously under one vmap inside a single jitted fori_loop — the
@@ -133,10 +133,13 @@ def train_posthoc_classifiers(key, real_seqs: np.ndarray,
         def body(i, carry):
             params, opt = carry
             kb = jax.random.fold_in(kloop, i)
-            idx = jax.random.randint(kb, (batch_size,), 0, n)
+            # independent data order per start: each of the S restarts
+            # folds its own batch-index key
+            idx = jax.vmap(
+                lambda k: jax.random.randint(k, (batch_size,), 0, n))(
+                    jax.random.split(kb, S))
             xr, xf = real[idx], fakes[idx % nf]
-            return jax.vmap(one_step, in_axes=(0, 0, None, None))(
-                params, opt, xr, xf)
+            return jax.vmap(one_step)(params, opt, xr, xf)
 
         params, _ = jax.lax.fori_loop(0, n_iters, body, (params0, opt0))
 
@@ -196,12 +199,20 @@ def train_posthoc_classifiers(key, real_seqs: np.ndarray,
                 updates, o = rtx.update(grads, o, p)
                 return optax.apply_updates(p, updates), o
 
+            tgt_t = jnp.swapaxes(targets, 0, 1)  # (S, n, K)
+
             def body(i, carry):
                 params, opt = carry
                 kb = jax.random.fold_in(kloop, i)
-                idx = jax.random.randint(kb, (batch_size,), 0, mu.shape[0])
-                return jax.vmap(one_step, in_axes=(0, 0, None, 1))(
-                    params, opt, mu[idx], targets[idx])
+                idx = jax.vmap(
+                    lambda k: jax.random.randint(
+                        k, (batch_size,), 0, mu.shape[0]))(
+                            jax.random.split(kb, S))
+
+                def step_s(p, o, idx_s, tgt_s):
+                    return one_step(p, o, mu[idx_s], tgt_s[idx_s])
+
+                return jax.vmap(step_s)(params, opt, idx, tgt_t)
 
             rparams, _ = jax.lax.fori_loop(0, n_iters, body,
                                            (rparams0, ropt0))

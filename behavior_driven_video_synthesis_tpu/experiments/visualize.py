@@ -195,11 +195,12 @@ def latent_interpolate_videos(model, net_params, batch, out_dir: str, key,
     return out
 
 
-def get_synth_input(dataset, idx: int, spatial_size: int):
+def get_synth_input(dataset, idx: int, spatial_size: int = 0):
     """Sample appearance image + camera for RGB rendering from a dataset's
     complete datadict (reference get_synth_input[_fix],
     lib/logging.py:1439-1545): returns (app_img [-1,1], extrinsics,
-    intrinsics, image_size) for one sample."""
+    intrinsics, image_size) for one sample.  The appearance is resized to
+    ``spatial_size`` when given (>0), else to the dataset's own size."""
     dd = (dataset.complete_datadict
           if dataset.complete_datadict is not None else dataset.datadict)
     # image must come from the SAME dict the camera params index into
@@ -210,8 +211,9 @@ def get_synth_input(dataset, idx: int, spatial_size: int):
     if img is None:
         raise FileNotFoundError(dd["img_paths"][idx])
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    if img.shape[0] != dataset.spatial_size:
-        img = cv2.resize(img, (dataset.spatial_size, dataset.spatial_size),
+    size = int(spatial_size) if spatial_size else dataset.spatial_size
+    if img.shape[0] != size or img.shape[1] != size:
+        img = cv2.resize(img, (size, size),
                          interpolation=cv2.INTER_LINEAR)
     app = dataset._to_float(img)
     extr = np.asarray(dd["extrinsics_univ"][idx], np.float32)
@@ -220,22 +222,23 @@ def get_synth_input(dataset, idx: int, spatial_size: int):
     return app, extr, intr, imsize
 
 
-def get_synth_input_all_cameras(dataset, rng=None):
+def get_synth_input_all_cameras(dataset, rng=None, spatial_size: int = 0):
     """One (appearance, extrinsics, intrinsics, image_size) tuple per
     DISTINCT camera, appearance fixed to one random person seen from each
     camera (reference get_synth_input(all_cameras=True),
     lib/logging.py:1473-1514).  Returns stacked arrays
     (C,S,S,3)/(C,3,4)/(C,4)/(C,2); falls back to [get_synth_input(0)] when
-    the dataset has no camera ids."""
+    the dataset has no camera ids (or no person ids to pin)."""
     rng = rng or np.random.RandomState(0)
     dd = (dataset.complete_datadict
           if getattr(dataset, "complete_datadict", None) is not None
           else dataset.datadict)
-    if "camera_id" not in dd or "extrinsics_univ" not in dd:
-        app, extr, intr, size = get_synth_input(dataset, 0, 0)
+    persons = np.unique(dd["p_ids"]) if "p_ids" in dd else np.empty(0)
+    if ("camera_id" not in dd or "extrinsics_univ" not in dd
+            or persons.size == 0):
+        app, extr, intr, size = get_synth_input(dataset, 0, spatial_size)
         return (app[None], extr[None], intr[None], size[None])
     cameras = np.unique(dd["camera_id"])
-    persons = np.unique(dd["p_ids"])
     tpid = persons[rng.randint(len(persons))]
     apps, extrs, intrs, sizes = [], [], [], []
     for cam in cameras:
@@ -244,7 +247,7 @@ def get_synth_input_all_cameras(dataset, rng=None):
         if sel.size == 0:  # person not seen by this camera
             sel = np.nonzero(dd["camera_id"] == cam)[0]
         tid = int(sel[0])
-        app, extr, intr, size = get_synth_input(dataset, tid, 0)
+        app, extr, intr, size = get_synth_input(dataset, tid, spatial_size)
         apps.append(app)
         extrs.append(extr)
         intrs.append(intr)

@@ -89,18 +89,32 @@ def _adopt_pretrained(pretrained_model: str, debug: bool):
         src_ckpt = path.join(pretrained_model, "ckpt", project)
     config = load_config(cfg_path)
     if debug:
+        # same sandboxing as load_parameters: a --debug warm start writes
+        # into the 'debug' project, never into the pretrained run itself
         config.general["debug"] = True
+        config.general["project_name"] = "debug"
     dirs = create_dir_structure(config, config.general.project_name)
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
     save_config(config, path.join(dirs["config"], "config.yaml"))
-    if path.isdir(src_ckpt) and path.abspath(src_ckpt) != path.abspath(
-            dirs["ckpt"]):
-        for role in os.listdir(src_ckpt):
-            s = path.join(src_ckpt, role)
-            t = path.join(dirs["ckpt"], role)
-            if path.isdir(s) and not path.exists(t):
-                shutil.copytree(s, t)
+    if path.isdir(src_ckpt):
+        if path.abspath(src_ckpt) == path.abspath(dirs["ckpt"]):
+            # the pretrained run still lives at its original base_dir, so
+            # the adopted config reproduces its own dirs: this degenerates
+            # to an IN-PLACE continuation (the reference behaves the same,
+            # main.py:40-47 — it copies *.pth onto themselves).  Warn: new
+            # saves will rotate out the run's older checkpoints.
+            print("WARNING: --pretrained_model points at a run whose "
+                  "config resolves to the same run directory; continuing "
+                  "IN PLACE (new checkpoints rotate out old ones there). "
+                  "Move/copy the pretrained run elsewhere to warm-start "
+                  "a fresh run.")
+        else:
+            for role in os.listdir(src_ckpt):
+                s = path.join(src_ckpt, role)
+                t = path.join(dirs["ckpt"], role)
+                if path.isdir(s) and not path.exists(t):
+                    shutil.copytree(s, t)
     return config, dirs
 
 

@@ -65,7 +65,10 @@ def nearest_neighbour_figure(betas: np.ndarray, sequences: np.ndarray,
 
     def strip(i):
         world = seqs[i].reshape(seqs[i].shape[0], -1, 3)
-        frames = create_video_3d(world)
+        # render ONLY the frames the strip keeps (matplotlib 3D rendering
+        # is the cost here; axis bounds come from the selected frames)
+        sel = np.linspace(0, world.shape[0] - 1, n_frames).astype(int)
+        frames = create_video_3d(world[sel])
         frames = text_to_vid(frames, f"a{int(labels[i])}", (5, 20))
         return make_enrollment_strip(frames, n_frames=n_frames)
 
