@@ -1,0 +1,294 @@
+"""Serving CLI (`bdvs-generate`): generate behavior-transfer RGB videos
+from TRAINED checkpoints in a fresh process — the deployment entry point.
+
+The reference has no serving CLI; its equivalent capability is buried in
+inference-time visualization (reference lib/logging.py:103-906 renders
+videos inside `run_inference`).  Here the compiled
+`BehaviorTransferPipeline` (flow inverse -> decoder rollout -> FK/camera ->
+on-device stickman raster -> VUNet synthesis, ONE jit) is driven directly
+from two run directories:
+
+    bdvs-generate --behavior_model <base>/behavior_net \
+                  --synth_model <base>/cvbae_run \
+                  [--mode sample|transfer] [--request req.npz] \
+                  [--quant int8_static] [--upsample transpose] \
+                  [--out ./served] [--length 50] [--batch 4]
+
+Modes
+  sample    z ~ N(0,1) -> flow inverse (when the behavior run has a
+            flow_ckpt) -> rollout -> render: novel behaviors.
+  transfer  infer the behavior posterior mean from the request's `source`
+            sequences and re-enact it from `x_start`.
+
+Request file (.npz), all optional with synthetic fallbacks:
+  x_start     (B, K)  normalized start poses
+  source      (B, T, K) normalized source sequences (transfer mode)
+  app_img     (B, S, S, 3) appearance in [-1, 1] float (or uint8 0..255)
+  extrinsics  (B, 3, 4); intrinsics (B, 4) as (fx, x0, fy, y0)
+  image_size  (B, 2)
+  norm_mean / norm_std (K_full,) and dim_to_use (K,) unnormalization stats
+            (default: identity stats over K dims)
+
+Serving options map 1:1 onto the framework's TPU serving features:
+`--quant int8_static` runs the per-frame convs as PTQ int8 on the MXU
+(one calibration pass on the request itself), `--upsample transpose`
+lowers subpixel upsamples as param-identical transposed convs.  Both work
+on any trained checkpoint — no conversion step.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _load_run(run_dir: str, role: str) -> Tuple[dict, Optional[object]]:
+    """Restore the latest checkpoint of `role` from a run directory as a
+    raw pytree (no template needed), plus the run's config when found.
+
+    Accepts the experiment dir (scans projects), a project's ckpt dir, or
+    a direct orbax role dir — same resolution as
+    experiments.visualize.load_synth_params.
+    """
+    import orbax.checkpoint as ocp
+
+    from .core.config import load_config
+
+    candidates = []  # (ckpt_role_dir, config_yaml_or_None)
+    direct_cfg = os.path.join(run_dir, "config", "config.yaml")
+    candidates.append((os.path.join(run_dir, "ckpt", role), direct_cfg))
+    candidates.append((os.path.join(run_dir, role), direct_cfg))
+    candidates.append((run_dir, direct_cfg))
+    exp_ckpt = os.path.join(run_dir, "ckpt")
+    if os.path.isdir(exp_ckpt):
+        for proj in sorted(os.listdir(exp_ckpt)):
+            candidates.append((
+                os.path.join(exp_ckpt, proj, role),
+                os.path.join(run_dir, "config", proj, "config.yaml")))
+    for cand, cfg_path in candidates:
+        if not os.path.isdir(cand):
+            continue
+        mgr = ocp.CheckpointManager(os.path.abspath(cand))
+        step = mgr.latest_step()
+        if step is None:
+            continue
+        state = mgr.restore(step)
+        config = (load_config(cfg_path)
+                  if cfg_path and os.path.exists(cfg_path) else None)
+        return state, config
+    raise FileNotFoundError(f"no '{role}' checkpoint under {run_dir}")
+
+
+def chain_joint_model(n_joints: int):
+    """Minimal consecutive-chain skeleton for non-H36M keypoint layouts
+    (synthetic runs): renders every joint, no anatomical semantics."""
+    from .geometry.stickman import JointModel
+
+    edges = [(i, i + 1) for i in range(max(n_joints - 1, 1))]
+    half = max(len(edges) // 2, 1)
+    return JointModel(
+        body=list(range(min(3, n_joints))),
+        right_lines=edges[:half],
+        left_lines=edges[half:] or edges[:1],
+        head_lines=edges[:1],
+        face=[],
+        rshoulder=0,
+        lshoulder=min(1, n_joints - 1),
+        headup=min(2, n_joints - 1),
+        kps_to_use=list(range(n_joints)),
+        total_relative_joints=[],
+        kp_to_joint=["joint"] * n_joints,
+    )
+
+
+def _default_camera(b: int, spatial: int):
+    extr = np.tile(np.hstack([np.eye(3), [[0.0], [0.0], [4.0]]]
+                             ).astype(np.float32), (b, 1, 1))
+    f = float(spatial) * 4.5
+    intr = np.tile(np.asarray([f, spatial / 2.0, f, spatial / 2.0],
+                              np.float32), (b, 1))
+    imsize = np.full((b, 2), float(spatial), np.float32)
+    return extr, intr, imsize
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Generate behavior-transfer videos from trained "
+                    "checkpoints (serving entry point)")
+    ap.add_argument("--behavior_model", required=True,
+                    help="behavior_net run dir (reg_ckpt [+ flow_ckpt])")
+    ap.add_argument("--synth_model", required=True,
+                    help="cvbae/vunet run dir (VUNet reg_ckpt)")
+    ap.add_argument("--request", default=None,
+                    help=".npz request file (see module docstring)")
+    ap.add_argument("--mode", choices=["sample", "transfer"],
+                    default="sample")
+    ap.add_argument("--out", default="./served")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="videos per request when no request file given")
+    ap.add_argument("--length", type=int, default=50)
+    ap.add_argument("--fps", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quant", choices=["none", "int8_static"],
+                    default="none")
+    ap.add_argument("--quant_max_hw", type=int, default=0,
+                    help="leave convs with input height above this in bf16")
+    ap.add_argument("--upsample", choices=["subpixel", "transpose"],
+                    default="subpixel")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .data.human36m import detailed_joint_model
+    from .experiments.visualize import render_rgb_videos
+    from .models import ResidualBehaviorNet
+    from .models.flows import LatentFlow
+    from .models.vunet import VUNet
+    from .pipeline import BehaviorTransferPipeline
+
+    braw, bcfg = _load_run(args.behavior_model, "reg_ckpt")
+    net_params = braw["net"]["params"]
+    flow_vars = None
+    try:
+        fraw, _ = _load_run(args.behavior_model, "flow_ckpt")
+        flow_vars = {"params": fraw["flow"]["params"],
+                     "buffers": fraw["flow"]["buffers"]}
+    except FileNotFoundError:
+        print("no flow checkpoint: 'sample' draws behavior latents from "
+              "N(0,1) directly")
+    barch = bcfg.architecture if bcfg else {}
+    hid = int(barch.get("dim_hidden_b", 1024))
+
+    sraw, scfg = _load_run(args.synth_model, "reg_ckpt")
+    vunet_params = sraw["vunet"]["params"]
+    sarch = scfg.architecture if scfg else {}
+    sdata = scfg.data if scfg else {}
+    spatial = int(sdata.get("spatial_size", 64))
+
+    # the trained keypoint width comes from the checkpoint itself
+    n_kps_ckpt = int(np.asarray(
+        braw["net"]["params"]["decoder"]["b_out"]).shape[-1])
+
+    # ---- request ----------------------------------------------------------
+    req = dict(np.load(args.request)) if args.request else {}
+    rng = np.random.RandomState(args.seed)
+    if "x_start" in req:
+        x_start = np.asarray(req["x_start"], np.float32)
+    else:
+        # neutral near-origin start in normalized coords
+        x_start = rng.randn(args.batch, n_kps_ckpt).astype(
+            np.float32) * 0.05
+    B, K = x_start.shape
+    if K != n_kps_ckpt:
+        raise SystemExit(f"request x_start has {K} dims but the behavior "
+                         f"checkpoint was trained with {n_kps_ckpt}")
+    source = np.asarray(req["source"], np.float32) if "source" in req \
+        else None
+    if args.mode == "transfer" and source is None:
+        raise SystemExit("--mode transfer needs `source` sequences in the "
+                         "request file")
+    mean = np.asarray(req.get("norm_mean", np.zeros(K)), np.float32)
+    std = np.asarray(req.get("norm_std", np.ones(K)), np.float32)
+    dim_to_use = np.asarray(req.get("dim_to_use", np.arange(K)), np.int64)
+    if "app_img" in req:
+        app = np.asarray(req["app_img"])
+        if app.dtype == np.uint8:
+            app = app.astype(np.float32) / 127.5 - 1.0
+        app = app.astype(np.float32)
+        if app.shape[1] != spatial:
+            import cv2
+
+            app = np.stack([cv2.resize(a, (spatial, spatial)) for a in app])
+    else:
+        app = np.full((B, spatial, spatial, 3), 0.1, np.float32)
+    extr = np.asarray(req.get("extrinsics",
+                              _default_camera(B, spatial)[0]), np.float32)
+    intr = np.asarray(req.get("intrinsics",
+                              _default_camera(B, spatial)[1]), np.float32)
+    imsize = np.asarray(req.get("image_size",
+                                _default_camera(B, spatial)[2]), np.float32)
+
+    n_joints = int(len(dim_to_use)) // 3
+    jm = (detailed_joint_model(world_coords=True) if n_joints == 17
+          else chain_joint_model(n_joints))
+
+    # ---- models (serving config) ------------------------------------------
+    behavior = ResidualBehaviorNet(
+        n_kps=K,
+        dim_hidden_b=hid,
+        decoder_arch=str(barch.get("decoder_arch", "lstm")),
+        use_nin_dec=bool(barch.get("linear_in_decoder", False)),
+        information_bottleneck=True,
+    )
+    flow_model = None
+    if flow_vars is not None:
+        flow_model = LatentFlow(
+            flow_in_channels=hid,
+            flow_mid_channels=hid * int(barch.get(
+                "flow_mid_channels_factor", 2)),
+            flow_hidden_depth=int(barch.get("flow_hidden_depth", 2)),
+            n_flows=int(barch.get("n_flows", 15)),
+        )
+    vunet = VUNet(
+        spatial_size=spatial,
+        nf_start=int(sarch.get("nf_start", 8)),
+        nf_max=int(sarch.get("nf_max", 16)),
+        n_latent_scales=int(sarch.get("n_latent_scales", 2)),
+        bottleneck_factor=int(sdata.get("bottleneck_factor", 2)),
+        variant="alter",
+        dtype=jnp.bfloat16,
+        quant=args.quant,
+        quant_max_hw=args.quant_max_hw,
+        upsample_transpose=args.upsample == "transpose",
+    )
+
+    # transfer re-enacts the inferred posterior MEAN directly (no flow);
+    # only build the pipeline's flow stage when it will actually run
+    use_flow = args.mode == "sample" and flow_vars is not None
+    pipe = BehaviorTransferPipeline(
+        behavior, vunet, jm, mean, std, dim_to_use, spatial_size=spatial,
+        stickman_thickness=max(2.0, spatial / 64.0),
+        flow_model=flow_model if use_flow else None)
+    params = {"behavior": net_params, "vunet": vunet_params,
+              "flow": flow_vars if use_flow else None}
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.mode == "transfer":
+        _, mu, _, _ = behavior.apply(
+            {"params": net_params}, jnp.asarray(source), sample=False,
+            rngs={"sample": key}, method=behavior.infer_b)
+        z = mu
+    else:
+        z = jax.random.normal(key, (B, hid))
+
+    if args.quant == "int8_static":
+        params["vunet_quant"] = pipe.calibrate(
+            params, z, jnp.asarray(x_start), jnp.asarray(app),
+            jnp.asarray(extr), jnp.asarray(intr), jnp.asarray(imsize),
+            key, length=args.length, use_flow=use_flow)
+        print("int8_static: calibrated activation scales on the request")
+
+    os.makedirs(args.out, exist_ok=True)
+    paths = render_rgb_videos(
+        pipe, params, z, jnp.asarray(x_start), jnp.asarray(app),
+        jnp.asarray(extr), jnp.asarray(intr), jnp.asarray(imsize),
+        key, args.out, length=args.length, fps=args.fps,
+        tag=f"{args.mode}_")
+    manifest = {"mode": args.mode, "batch": B, "length": args.length,
+                "spatial": spatial, "quant": args.quant,
+                "upsample": args.upsample,
+                "flow": bool(use_flow and flow_vars is not None),
+                "videos": paths}
+    mpath = os.path.join(args.out, "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"wrote {len(paths)} videos + {mpath}")
+    return manifest
+
+
+if __name__ == "__main__":
+    main()

@@ -451,3 +451,64 @@ def test_cvbae_pretrained_model_warm_start(tmp_path):
     # warm start: resumed from the copied checkpoint (no step-0 restart),
     # so the final step is >= the pretrained run's last step
     assert steps1 and steps1[-1] >= steps0[-1]
+
+
+def test_generate_cli_serving(tmp_path):
+    """The serving entry point (`bdvs-generate`): train tiny behavior_net
+    and cvbae runs through the CLI, then generate videos from their
+    checkpoints in both modes — proving trained runs are servable by a
+    fresh process with no experiment objects involved."""
+    bcfg = _seq_cfg(tmp_path, "behavior_net")
+    main(["--config", bcfg, "--debug"])
+
+    icfg_path = os.path.join(tmp_path, "cvbae_serve.yaml")
+    cfg = {
+        "general": {"base_dir": os.path.join(str(tmp_path), "runs"),
+                    "project_name": "e2e", "experiment": "cvbae",
+                    "seed": 0},
+        "data": {"dataset": "synthetic_images", "spatial_size": 32,
+                 "box_factor": 1, "bottleneck_factor": 2,
+                 "inplane_normalize": False, "n_persons": 4,
+                 "frames_per_person": 4},
+        "architecture": {"n_latent_scales": 2, "nf_start": 4, "nf_max": 8,
+                         "subpixel_upsampling": True, "n_scales": 0,
+                         "n_rnb": 2, "n_linear": 1},
+        "training": {"batch_size": 8, "lr": 5e-4, "adam_betas": [0.5, 0.9],
+                     "end_iteration": 4, "information_max": 10,
+                     "gamma_step": 1e-5, "perceptual": "laplacian",
+                     "train_regressor": False, "bf16": False,
+                     "dropout_prob": 0.0},
+        "metrics": {"n_it_metrics": 1000},
+        "logging": {"log_steps": 1000, "ckpt_steps": 1000,
+                    "metrics_every": 1},
+    }
+    with open(icfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["--config", icfg_path, "--debug"])
+
+    from behavior_driven_video_synthesis_tpu.generate import main as gen
+
+    bdir = os.path.join(str(tmp_path), "runs", "behavior_net")
+    sdir = os.path.join(str(tmp_path), "runs", "cvbae")
+    out = os.path.join(str(tmp_path), "served")
+    man = gen(["--behavior_model", bdir, "--synth_model", sdir,
+               "--mode", "sample", "--batch", "2", "--length", "8",
+               "--out", out])
+    assert man["videos"], man
+    assert all(os.path.isfile(p) for p in man["videos"].values())
+    assert os.path.isfile(os.path.join(out, "manifest.json"))
+    assert man["flow"]  # the behavior run trained a flow stage
+
+    # transfer mode off a request file, exercising the serving options
+    # (transposed upsample is param-identical so the checkpoint just works)
+    K, T = 12, 9
+    rng = np.random.RandomState(0)
+    req = os.path.join(str(tmp_path), "req.npz")
+    np.savez(req, x_start=rng.randn(2, K).astype(np.float32) * 0.05,
+             source=rng.randn(2, T, K).astype(np.float32) * 0.05)
+    out2 = os.path.join(str(tmp_path), "served_transfer")
+    man2 = gen(["--behavior_model", bdir, "--synth_model", sdir,
+                "--mode", "transfer", "--request", req, "--length", "8",
+                "--upsample", "transpose", "--out", out2])
+    assert man2["videos"] and not man2["flow"]
+    assert all(os.path.isfile(p) for p in man2["videos"].values())
