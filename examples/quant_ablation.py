@@ -47,7 +47,12 @@ def main():
     ap.add_argument("--nf-max", type=int, default=128)
     ap.add_argument("--ckpt", type=str, default=None,
                     help="optional orbax checkpoint dir with vunet params")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a JAX platform (e.g. cpu) — the env var is "
+                         "clobbered by this sandbox's sitecustomize")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
     from behavior_driven_video_synthesis_tpu.metrics.ssim import ssim
