@@ -54,7 +54,30 @@ def load_parameters(config_name: str, restart: bool, debug: bool,
         config, dirs = _adopt_pretrained(pretrained_model, debug)
     else:
         os.makedirs(dirs["config"], exist_ok=True)
-        save_config(config, saved_cfg)
+        if path.isfile(saved_cfg) and not debug:
+            # the run dir already exists: the reference prompts
+            # "Resume training (y/n)?" (main.py:52-66).  Only prompt on a
+            # real terminal — non-interactive runs (tests, schedulers)
+            # keep the overwrite behavior instead of blocking on stdin.
+            import sys as _sys
+
+            if _sys.stdin is not None and _sys.stdin.isatty():
+                while True:
+                    answer = input(
+                        "WARNING: run was started earlier: resume "
+                        "training (y/n)? ").strip().lower()
+                    if answer in ("y", "yes"):
+                        config = load_config(saved_cfg)
+                        restart = True
+                        break
+                    if answer in ("n", "no"):
+                        save_config(config, saved_cfg)
+                        break
+                    print("Invalid answer! Try again! (y/n)")
+            else:
+                save_config(config, saved_cfg)
+        else:
+            save_config(config, saved_cfg)
     config.general["restart"] = restart
     return config, dirs
 
