@@ -25,6 +25,7 @@ import optax
 
 from ..core import schedules
 from ..core.rng import KeySeq
+from ..data.loader import prefetch_iter
 from ..geometry.normalization import unnormalize
 from ..metrics import sequence_sample_metrics
 from ..models import (
@@ -139,8 +140,10 @@ class BehaviorNetExperiment(Experiment):
         if not self.only_flow:
             for epoch in range(start_epoch, n_epochs):
                 enable = jnp.asarray(epoch < n_epochs - 10 or n_epochs <= 10)
-                for batch in train_loader:
-                    batch = self._prep_batch(batch, meta)
+                # host prep + device placement run one batch ahead
+                for batch in prefetch_iter(
+                        iter(train_loader),
+                        lambda b: self._prep_batch(b, meta)):
                     state, metrics = step_fn(state, batch, ks(), enable)
                     self.collect(metrics)
                 step = int(jax.device_get(state.step))
@@ -195,8 +198,9 @@ class BehaviorNetExperiment(Experiment):
             make_flow_train_step(model, flow_model, flow_tx, seq_len),
             donate_argnums=(0,))
         for epoch in range(self.n_flow_epochs if not self.debug else 1):
-            for batch in train_loader:
-                batch = self._prep_batch(batch, meta)
+            for batch in prefetch_iter(
+                    iter(train_loader),
+                    lambda b: self._prep_batch(b, meta)):
                 fstate, fmetrics = flow_step(fstate, state.net.params,
                                              batch, ks())
                 self.collect(fmetrics)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.rng import KeySeq
+from ..data.loader import prefetch_iter
 from ..metrics import sequence_sample_metrics
 from ..models.mtvae import MTVAE
 from ..train.mtvae_exp import create_mtvae_state, make_mtvae_train_step
@@ -45,12 +46,14 @@ class MTVAEExperiment(Experiment):
         steps_per_epoch = max(1, len(train_loader))
         for epoch in range(int(start) // steps_per_epoch, n_epochs):
             enable = jnp.asarray(epoch < n_epochs - 10 or n_epochs <= 10)
-            for batch in train_loader:
-                batch = self.place_batch({
-                    "keypoints": np.asarray(batch["keypoints"], np.float32),
+            def _prep(b):
+                return self.place_batch({
+                    "keypoints": np.asarray(b["keypoints"], np.float32),
                     "paired_keypoints": np.asarray(
-                        batch["paired_keypoints"], np.float32),
+                        b["paired_keypoints"], np.float32),
                 })
+
+            for batch in prefetch_iter(iter(train_loader), _prep):
                 state, metrics = step_fn(state, batch, ks(), enable)
                 self.collect(metrics)
             step = int(jax.device_get(state.step))

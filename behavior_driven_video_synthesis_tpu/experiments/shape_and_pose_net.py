@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.rng import KeySeq
+from ..data.loader import prefetch_iter
 from ..data import (
     Loader,
     PerPersonSampler,
@@ -193,8 +194,9 @@ class ShapePoseExperiment(Experiment):
 
         it = int(start)
         while it < end_iteration:
-            for batch in train_loader:
-                batch = self.place_batch(batch)
+            # device placement runs one batch ahead of the step
+            for batch in prefetch_iter(iter(train_loader),
+                                       self.place_batch):
                 state, metrics = step_fn(state, batch, ks())
                 self.collect(metrics)
                 it += 1

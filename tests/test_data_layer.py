@@ -301,3 +301,47 @@ def test_h36m_synthetic_factory_modes():
         assert batch["keypoints"].shape[0] == 4
         assert meta["n_kps"] == 51
         assert meta["norm_stats"] is not None
+
+
+class TestPrefetchIter:
+    def test_order_and_prepare(self):
+        from behavior_driven_video_synthesis_tpu.data.loader import (
+            prefetch_iter,
+        )
+
+        out = list(prefetch_iter(iter(range(20)), lambda x: x * 2, n=3))
+        assert out == [x * 2 for x in range(20)]
+
+    def test_abandon_mid_iteration_does_not_hang(self):
+        import threading
+
+        from behavior_driven_video_synthesis_tpu.data.loader import (
+            prefetch_iter,
+        )
+
+        n_before = threading.active_count()
+        for _ in range(5):
+            it = prefetch_iter(iter(range(1000)), n=1)
+            assert next(it) == 0
+            it.close()  # consumer breaks out of the epoch
+        import time
+
+        deadline = time.time() + 10
+        while threading.active_count() > n_before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= n_before + 1
+
+    def test_producer_exception_reraises(self):
+        import pytest
+
+        from behavior_driven_video_synthesis_tpu.data.loader import (
+            prefetch_iter,
+        )
+
+        def boom(x):
+            if x == 3:
+                raise ValueError("bad batch")
+            return x
+
+        with pytest.raises(ValueError, match="bad batch"):
+            list(prefetch_iter(iter(range(10)), boom))
