@@ -124,6 +124,10 @@ def main(argv=None):
                     help="cvbae/vunet run dir (VUNet reg_ckpt)")
     ap.add_argument("--request", default=None,
                     help=".npz request file (see module docstring)")
+    ap.add_argument("--from_dataset", action="store_true",
+                    help="build the request from the behavior run's own "
+                         "configured dataset (test split): real source "
+                         "sequences, norm stats, appearance and cameras")
     ap.add_argument("--mode", choices=["sample", "transfer"],
                     default="sample")
     ap.add_argument("--out", default="./served")
@@ -176,6 +180,45 @@ def main(argv=None):
     # ---- request ----------------------------------------------------------
     req = dict(np.load(args.request)) if args.request else {}
     rng = np.random.RandomState(args.seed)
+    jm_override = None
+    if args.from_dataset:
+        if bcfg is None:
+            raise SystemExit("--from_dataset needs the behavior run's "
+                             "config.yaml next to its checkpoints")
+        from .experiments.data_factory import build_sequence_data
+
+        loader, meta = build_sequence_data(bcfg, mode="test")
+        batch = next(iter(loader))
+        kps = np.asarray(batch["keypoints"], np.float32)[:args.batch]
+        req.setdefault("source", kps[:, :-1])
+        req.setdefault("x_start", kps[:, 0])
+        stats = meta.get("norm_stats")
+        if stats is not None:
+            req.setdefault("norm_mean", np.asarray(stats.mean))
+            req.setdefault("norm_std", np.asarray(stats.std))
+            req.setdefault("dim_to_use", np.asarray(stats.dim_to_use))
+        ds = meta.get("dataset")
+        jm_override = getattr(ds, "joint_model", None)
+        if "app_img" not in req and ds is not None and hasattr(
+                ds, "datadict") and "img_paths" in getattr(
+                    ds, "datadict", {}):
+            from .experiments.visualize import get_synth_input
+
+            apps, extrs, intrs, sizes = [], [], [], []
+            for i in range(len(kps)):
+                a, e, ii, sz = get_synth_input(ds, i, spatial)
+                apps.append(a)
+                extrs.append(e)
+                intrs.append(ii)
+                sizes.append(sz)
+            req["app_img"] = np.stack(apps)
+            req["extrinsics"] = np.stack(extrs)
+            req["intrinsics"] = np.stack(intrs)
+            req["image_size"] = np.stack(sizes)
+        print(f"request built from the run's dataset: "
+              f"{len(kps)} sequences"
+              + (", real appearance/cameras" if "app_img" in req
+                 else ", synthetic appearance/camera fallback"))
     if "x_start" in req:
         x_start = np.asarray(req["x_start"], np.float32)
     else:
@@ -213,8 +256,8 @@ def main(argv=None):
                                 _default_camera(B, spatial)[2]), np.float32)
 
     n_joints = int(len(dim_to_use)) // 3
-    jm = (detailed_joint_model(world_coords=True) if n_joints == 17
-          else chain_joint_model(n_joints))
+    jm = jm_override or (detailed_joint_model(world_coords=True)
+                         if n_joints == 17 else chain_joint_model(n_joints))
 
     # ---- models (serving config) ------------------------------------------
     behavior = ResidualBehaviorNet(

@@ -512,3 +512,12 @@ def test_generate_cli_serving(tmp_path):
                 "--upsample", "transpose", "--out", out2])
     assert man2["videos"] and not man2["flow"]
     assert all(os.path.isfile(p) for p in man2["videos"].values())
+
+    # --from_dataset: request built from the run's own configured dataset
+    # (synthetic here -> real source sequences, fallback appearance/camera)
+    out3 = os.path.join(str(tmp_path), "served_ds")
+    man3 = gen(["--behavior_model", bdir, "--synth_model", sdir,
+                "--mode", "transfer", "--from_dataset", "--batch", "2",
+                "--length", "8", "--out", out3])
+    assert man3["videos"]
+    assert all(os.path.isfile(p) for p in man3["videos"].values())
