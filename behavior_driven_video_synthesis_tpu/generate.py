@@ -276,18 +276,33 @@ def main(argv=None):
             flow_hidden_depth=int(barch.get("flow_hidden_depth", 2)),
             n_flows=int(barch.get("n_flows", 15)),
         )
+    # mirror the synth driver's construction exactly so ANY trained run
+    # loads (experiments/shape_and_pose_net.py:_build_models): variant from
+    # the experiment name, inplane appearance stack, scale algebra knobs
+    s_inplane = bool(sdata.get("inplane_normalize", False))
+    s_exp = str(scfg.general.get("experiment", "cvbae")) if scfg else "cvbae"
     vunet = VUNet(
         spatial_size=spatial,
+        n_channels_x=30 if s_inplane else 3,
         nf_start=int(sarch.get("nf_start", 8)),
         nf_max=int(sarch.get("nf_max", 16)),
         n_latent_scales=int(sarch.get("n_latent_scales", 2)),
         bottleneck_factor=int(sdata.get("bottleneck_factor", 2)),
-        variant="alter",
+        box_factor=int(sdata.get("box_factor", 2)),
+        n_scales_cfg=int(sarch.get("n_scales", 0)),
+        subpixel_upsampling=bool(sarch.get("subpixel_upsampling", True)),
+        conv_layer_type=str(sarch.get("conv_layer_type", "l1")),
+        variant="org" if s_exp == "vunet" else "alter",
         dtype=jnp.bfloat16,
         quant=args.quant,
         quant_max_hw=args.quant_max_hw,
         upsample_transpose=args.upsample == "transpose",
     )
+    if s_inplane:
+        raise SystemExit(
+            "serving a run trained with inplane_normalize needs the 30ch "
+            "part-stack appearance; supply it via --request app_img "
+            "(B,S,S,30) — not yet wired into the request defaults")
 
     # transfer re-enacts the inferred posterior MEAN directly (no flow);
     # only build the pipeline's flow stage when it will actually run
