@@ -23,7 +23,9 @@ Modes
 Request file (.npz), all optional with synthetic fallbacks:
   x_start     (B, K)  normalized start poses
   source      (B, T, K) normalized source sequences (transfer mode)
-  app_img     (B, S, S, 3) appearance in [-1, 1] float (or uint8 0..255)
+  app_img     (B, S, S, 3) appearance in [-1, 1] float (or uint8 0..255);
+              inplane-trained synthesis runs instead take the 30ch part
+              stack at (B, S/2^box_factor, S/2^box_factor, 30)
   extrinsics  (B, 3, 4); intrinsics (B, 4) as (fx, x0, fy, y0)
   image_size  (B, 2)
   norm_mean / norm_std (K_full,) and dim_to_use (K,) unnormalization stats
@@ -57,18 +59,25 @@ def _load_run(run_dir: str, role: str) -> Tuple[dict, Optional[object]]:
 
     from .core.config import load_config
 
-    candidates = []  # (ckpt_role_dir, config_yaml_or_None)
+    run_dir = os.path.normpath(run_dir)
+    candidates = []  # (ckpt_role_dir, [config_yaml_options])
     direct_cfg = os.path.join(run_dir, "config", "config.yaml")
-    candidates.append((os.path.join(run_dir, "ckpt", role), direct_cfg))
-    candidates.append((os.path.join(run_dir, role), direct_cfg))
-    candidates.append((run_dir, direct_cfg))
+    # when run_dir is <exp>/ckpt/<project>, the config lives at
+    # <exp>/config/<project>/config.yaml
+    proj = os.path.basename(run_dir)
+    sibling_cfg = os.path.join(os.path.dirname(os.path.dirname(run_dir)),
+                               "config", proj, "config.yaml")
+    candidates.append((os.path.join(run_dir, "ckpt", role), [direct_cfg]))
+    candidates.append((os.path.join(run_dir, role),
+                       [direct_cfg, sibling_cfg]))
+    candidates.append((run_dir, [direct_cfg, sibling_cfg]))
     exp_ckpt = os.path.join(run_dir, "ckpt")
     if os.path.isdir(exp_ckpt):
-        for proj in sorted(os.listdir(exp_ckpt)):
+        for prj in sorted(os.listdir(exp_ckpt)):
             candidates.append((
-                os.path.join(exp_ckpt, proj, role),
-                os.path.join(run_dir, "config", proj, "config.yaml")))
-    for cand, cfg_path in candidates:
+                os.path.join(exp_ckpt, prj, role),
+                [os.path.join(run_dir, "config", prj, "config.yaml")]))
+    for cand, cfg_paths in candidates:
         if not os.path.isdir(cand):
             continue
         mgr = ocp.CheckpointManager(os.path.abspath(cand))
@@ -76,8 +85,11 @@ def _load_run(run_dir: str, role: str) -> Tuple[dict, Optional[object]]:
         if step is None:
             continue
         state = mgr.restore(step)
-        config = (load_config(cfg_path)
-                  if cfg_path and os.path.exists(cfg_path) else None)
+        config = None
+        for cp in cfg_paths:
+            if cp and os.path.exists(cp):
+                config = load_config(cp)
+                break
         return state, config
     raise FileNotFoundError(f"no '{role}' checkpoint under {run_dir}")
 
@@ -172,6 +184,12 @@ def main(argv=None):
     sarch = scfg.architecture if scfg else {}
     sdata = scfg.data if scfg else {}
     spatial = int(sdata.get("spatial_size", 64))
+    s_inplane = bool(sdata.get("inplane_normalize", False))
+    s_exp = str(scfg.general.get("experiment", "cvbae")) if scfg else "cvbae"
+    s_boxf = int(sdata.get("box_factor", 2))
+    # inplane runs consume the 30ch part stack at spatial/2^box_factor
+    app_hw = spatial // (2 ** s_boxf) if s_inplane else spatial
+    app_ch = 30 if s_inplane else 3
 
     # the trained keypoint width comes from the checkpoint itself
     n_kps_ckpt = int(np.asarray(
@@ -207,6 +225,24 @@ def main(argv=None):
             apps, extrs, intrs, sizes = [], [], [], []
             for i in range(len(kps)):
                 a, e, ii, sz = get_synth_input(ds, i, spatial)
+                if s_inplane:
+                    # the synth run consumes the 30ch part stack, not the
+                    # raw appearance (reference lib/logging.py:1439-1545
+                    # applies the same normalization for inplane models)
+                    if not getattr(ds.joint_model, "norm_T", None):
+                        raise SystemExit(
+                            "inplane synth run but the behavior dataset's "
+                            "joint model defines no part homographies "
+                            "(norm_T); supply app_img via --request")
+                    from .data.parts import normalize_parts
+
+                    raw = ((a + 1.0) * 127.5).astype(np.uint8)
+                    kr = (ds._get_kps_for_rendering(i)
+                          * (spatial / float(ds.spatial_size)))
+                    a = normalize_parts(
+                        raw, kr, ds.joint_model,
+                        spatial // (2 ** s_boxf)
+                    ).astype(np.float32) / 127.5 - 1.0
                 apps.append(a)
                 extrs.append(e)
                 intrs.append(ii)
@@ -242,12 +278,21 @@ def main(argv=None):
         if app.dtype == np.uint8:
             app = app.astype(np.float32) / 127.5 - 1.0
         app = app.astype(np.float32)
-        if app.shape[1] != spatial:
+        if app.shape[-1] != app_ch:
+            raise SystemExit(
+                f"this synthesis run expects {app_ch}-channel appearance "
+                f"({'inplane part stack' if s_inplane else 'RGB'}), got "
+                f"{app.shape[-1]} channels")
+        if app.shape[1] != app_hw:
+            if app_ch != 3:
+                raise SystemExit(
+                    f"inplane appearance must be exactly "
+                    f"({app_hw},{app_hw},30); got {app.shape[1:]}")
             import cv2
 
-            app = np.stack([cv2.resize(a, (spatial, spatial)) for a in app])
+            app = np.stack([cv2.resize(a, (app_hw, app_hw)) for a in app])
     else:
-        app = np.full((B, spatial, spatial, 3), 0.1, np.float32)
+        app = np.full((B, app_hw, app_hw, app_ch), 0.1, np.float32)
     extr = np.asarray(req.get("extrinsics",
                               _default_camera(B, spatial)[0]), np.float32)
     intr = np.asarray(req.get("intrinsics",
@@ -279,8 +324,6 @@ def main(argv=None):
     # mirror the synth driver's construction exactly so ANY trained run
     # loads (experiments/shape_and_pose_net.py:_build_models): variant from
     # the experiment name, inplane appearance stack, scale algebra knobs
-    s_inplane = bool(sdata.get("inplane_normalize", False))
-    s_exp = str(scfg.general.get("experiment", "cvbae")) if scfg else "cvbae"
     vunet = VUNet(
         spatial_size=spatial,
         n_channels_x=30 if s_inplane else 3,
@@ -288,7 +331,7 @@ def main(argv=None):
         nf_max=int(sarch.get("nf_max", 16)),
         n_latent_scales=int(sarch.get("n_latent_scales", 2)),
         bottleneck_factor=int(sdata.get("bottleneck_factor", 2)),
-        box_factor=int(sdata.get("box_factor", 2)),
+        box_factor=s_boxf,
         n_scales_cfg=int(sarch.get("n_scales", 0)),
         subpixel_upsampling=bool(sarch.get("subpixel_upsampling", True)),
         conv_layer_type=str(sarch.get("conv_layer_type", "l1")),
@@ -298,11 +341,6 @@ def main(argv=None):
         quant_max_hw=args.quant_max_hw,
         upsample_transpose=args.upsample == "transpose",
     )
-    if s_inplane:
-        raise SystemExit(
-            "serving a run trained with inplane_normalize needs the 30ch "
-            "part-stack appearance; supply it via --request app_img "
-            "(B,S,S,30) — not yet wired into the request defaults")
 
     # transfer re-enacts the inferred posterior MEAN directly (no flow);
     # only build the pipeline's flow stage when it will actually run

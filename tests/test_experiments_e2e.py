@@ -521,3 +521,26 @@ def test_generate_cli_serving(tmp_path):
                 "--length", "8", "--out", out3])
     assert man3["videos"]
     assert all(os.path.isfile(p) for p in man3["videos"].values())
+
+    # inplane-trained synthesis run: serving consumes the 30ch part stack
+    # at spatial/2^box_factor (driver parity: n_channels_x=30)
+    cfg["data"]["inplane_normalize"] = True
+    cfg["general"]["project_name"] = "e2e_inplane"
+    icfg2 = os.path.join(tmp_path, "cvbae_serve_inplane.yaml")
+    with open(icfg2, "w") as f:
+        yaml.safe_dump(cfg, f)
+    # no --debug: the debug sandbox would collide with the first cvbae
+    # run's project; this run trains under its own e2e_inplane project
+    main(["--config", icfg2])
+    app_hw = 32 // 2  # spatial 32, box_factor 1
+    np.savez(req, x_start=rng.randn(2, K).astype(np.float32) * 0.05,
+             source=rng.randn(2, T, K).astype(np.float32) * 0.05,
+             app_img=rng.rand(2, app_hw, app_hw, 30).astype(
+                 np.float32) * 2 - 1)
+    out4 = os.path.join(str(tmp_path), "served_inplane")
+    man4 = gen(["--behavior_model", bdir,
+                "--synth_model", os.path.join(sdir, "ckpt", "e2e_inplane"),
+                "--mode", "transfer", "--request", req, "--length", "8",
+                "--out", out4])
+    assert man4["videos"]
+    assert all(os.path.isfile(p) for p in man4["videos"].values())
