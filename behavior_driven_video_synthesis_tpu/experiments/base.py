@@ -62,7 +62,21 @@ class Experiment:
                 "async_ckpt", False)))
 
     def maybe_restore(self, role: str, template):
-        """Restore latest state for role if a checkpoint exists."""
+        """Restore latest state for role if a checkpoint exists.
+
+        ``general.fresh_start`` (set when the user answers 'n' to the
+        resume prompt) clears the role's stale checkpoints first so the
+        run truly starts over — otherwise the old final step would be
+        restored and an iteration-capped loop would exit immediately."""
+        if bool(self.config.general.get("fresh_start", False)):
+            import shutil
+
+            d = os.path.join(self.dirs["ckpt"], role)
+            if os.path.isdir(d) and os.listdir(d):
+                print(f"fresh start: clearing stale '{role}' checkpoints "
+                      f"under {d}")
+                shutil.rmtree(d)
+            return template, 0, self.ckpt_manager(role)
         mgr = self.ckpt_manager(role)
         out = mgr.restore_latest(template)
         if out is None:

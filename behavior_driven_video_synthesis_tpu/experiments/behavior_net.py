@@ -197,7 +197,10 @@ class BehaviorNetExperiment(Experiment):
         flow_step = jax.jit(
             make_flow_train_step(model, flow_model, flow_tx, seq_len),
             donate_argnums=(0,))
-        for epoch in range(self.n_flow_epochs if not self.debug else 1):
+        flow_spe = max(1, len(train_loader))  # steps per flow epoch
+        flow_start_epoch = int(fstart) // flow_spe
+        for epoch in range(flow_start_epoch,
+                           self.n_flow_epochs if not self.debug else 1):
             for batch in prefetch_iter(
                     iter(train_loader),
                     lambda b: self._prep_batch(b, meta)):
@@ -239,7 +242,7 @@ class BehaviorNetExperiment(Experiment):
                 "extrinsics_univ" not in getattr(ds, "datadict", {}):
             return None
         try:
-            from ..models.vunet import VUNet
+            from ..models.vunet import vunet_from_config
             from ..pipeline import BehaviorTransferPipeline
             from .visualize import (
                 get_synth_input,
@@ -248,16 +251,14 @@ class BehaviorNetExperiment(Experiment):
             )
 
             vunet_params, synth_cfg = load_synth_params(str(synth_dir))
-            arch = synth_cfg.architecture if synth_cfg else {}
             data_cfg = synth_cfg.data if synth_cfg else {}
             spatial = int(data_cfg.get("spatial_size", 64))
-            vunet = VUNet(
-                spatial_size=spatial,
-                nf_start=int(arch.get("nf_start", 8)),
-                nf_max=int(arch.get("nf_max", 16)),
-                n_latent_scales=int(arch.get("n_latent_scales", 2)),
-                bottleneck_factor=int(data_cfg.get("bottleneck_factor", 2)),
-                variant="alter")
+            s_exp = (str(synth_cfg.general.get("experiment", "cvbae"))
+                     if synth_cfg else "cvbae")
+            # the shared builder reconstructs the EXACT trained param tree
+            # from the run's dumped config (driver defaults included)
+            vunet = vunet_from_config(
+                synth_cfg, "org" if s_exp == "vunet" else "alter")
 
             pipe = BehaviorTransferPipeline(
                 model, vunet, ds.joint_model, stats.mean, stats.std,

@@ -29,7 +29,8 @@ from ..models.perceptual import (
     PerceptualVGG19,
     load_npz_params,
 )
-from ..models.vunet import VUNet, VunetRegressor, compute_n_scales
+from ..models.vunet import (VUNet, VunetRegressor, compute_n_scales,
+                            vunet_from_config)
 from ..utils import bounding_box_batch
 from ..train.vunet_exp import (
     create_vunet_state,
@@ -91,24 +92,9 @@ class ShapePoseExperiment(Experiment):
 
     def _build_models(self, spatial_size: int, n_channels_x: int):
         arch = self.config.architecture
-        vunet = VUNet(
-            spatial_size=spatial_size,
-            n_channels_x=n_channels_x,
-            nf_start=int(arch.get("nf_start", 32)),
-            nf_max=int(arch.get("nf_max", 128)),
-            n_latent_scales=int(arch.get("n_latent_scales", 2)),
-            bottleneck_factor=int(self.config.data.get("bottleneck_factor",
-                                                       2)),
-            box_factor=int(self.config.data.get("box_factor", 2)),
-            n_scales_cfg=int(arch.get("n_scales", 0)),
-            subpixel_upsampling=bool(arch.get("subpixel_upsampling", True)),
-            conv_layer_type=str(arch.get("conv_layer_type", "l1")),
-            variant=self.variant,
-            dropout_prob=float(self.config.training.get("dropout_prob",
-                                                        0.0)),
-            dtype=jnp.bfloat16 if bool(self.config.training.get(
-                "bf16", True)) else jnp.float32,
-        )
+        vunet = vunet_from_config(self.config, self.variant,
+                                  n_channels_x=n_channels_x,
+                                  spatial_size=spatial_size)
         n_scales = compute_n_scales(spatial_size,
                                     int(self.config.data.get(
                                         "bottleneck_factor", 2)),

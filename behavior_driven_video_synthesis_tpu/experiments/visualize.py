@@ -256,30 +256,35 @@ def get_synth_input_all_cameras(dataset, rng=None, spatial_size: int = 0):
             np.stack(sizes))
 
 
-def load_synth_params(run_dir: str):
-    """Load a pretrained synthesis (cvbae/vunet) run's VUNet params + config
-    for cross-model video rendering (reference behavior_net.py:84-99 loads
-    --synth_model's checkpoint + config.yaml)."""
+def load_run_checkpoint(run_dir: str, role: str):
+    """Restore the latest checkpoint of ``role`` from a run directory as a
+    raw pytree (no template needed), plus the run's config when found.
+
+    Run layouts: <base>/<experiment>/{ckpt,config,...}/<project>.  Accepts
+    the experiment dir (scans projects), a project's ckpt dir
+    (<exp>/ckpt/<project> — the config is resolved from the sibling
+    <exp>/config/<project>/config.yaml), or a direct orbax role dir."""
     import orbax.checkpoint as ocp
 
     from ..core.config import load_config
 
-    # run layouts: <base>/<experiment>/{ckpt,config,...}/<project>.  Accept
-    # the experiment dir (scan projects), a project's ckpt dir, or a direct
-    # orbax role dir.
-    candidates = []  # (ckpt_role_dir, config_yaml_or_None)
+    run_dir = os.path.normpath(run_dir)
+    candidates = []  # (ckpt_role_dir, [config_yaml_options])
     direct_cfg = os.path.join(run_dir, "config", "config.yaml")
-    candidates.append((os.path.join(run_dir, "ckpt", "reg_ckpt"),
-                       direct_cfg))
-    candidates.append((os.path.join(run_dir, "reg_ckpt"), direct_cfg))
-    candidates.append((run_dir, direct_cfg))
+    proj = os.path.basename(run_dir)
+    sibling_cfg = os.path.join(os.path.dirname(os.path.dirname(run_dir)),
+                               "config", proj, "config.yaml")
+    candidates.append((os.path.join(run_dir, "ckpt", role), [direct_cfg]))
+    candidates.append((os.path.join(run_dir, role),
+                       [direct_cfg, sibling_cfg]))
+    candidates.append((run_dir, [direct_cfg, sibling_cfg]))
     exp_ckpt = os.path.join(run_dir, "ckpt")
     if os.path.isdir(exp_ckpt):
-        for proj in sorted(os.listdir(exp_ckpt)):
+        for prj in sorted(os.listdir(exp_ckpt)):
             candidates.append((
-                os.path.join(exp_ckpt, proj, "reg_ckpt"),
-                os.path.join(run_dir, "config", proj, "config.yaml")))
-    for cand, cfg_path in candidates:
+                os.path.join(exp_ckpt, prj, role),
+                [os.path.join(run_dir, "config", prj, "config.yaml")]))
+    for cand, cfg_paths in candidates:
         if not os.path.isdir(cand):
             continue
         mgr = ocp.CheckpointManager(os.path.abspath(cand))
@@ -287,10 +292,21 @@ def load_synth_params(run_dir: str):
         if step is None:
             continue
         state = mgr.restore(step)  # raw pytree (no template)
-        config = (load_config(cfg_path)
-                  if cfg_path and os.path.exists(cfg_path) else None)
-        return state["vunet"]["params"], config
-    raise FileNotFoundError(f"no synthesis checkpoint under {run_dir}")
+        config = None
+        for cp in cfg_paths:
+            if cp and os.path.exists(cp):
+                config = load_config(cp)
+                break
+        return state, config
+    raise FileNotFoundError(f"no '{role}' checkpoint under {run_dir}")
+
+
+def load_synth_params(run_dir: str):
+    """Load a pretrained synthesis (cvbae/vunet) run's VUNet params + config
+    for cross-model video rendering (reference behavior_net.py:84-99 loads
+    --synth_model's checkpoint + config.yaml)."""
+    state, config = load_run_checkpoint(run_dir, "reg_ckpt")
+    return state["vunet"]["params"], config
 
 
 # -- paper-figure entry points (reference lib/figures.py) -------------------

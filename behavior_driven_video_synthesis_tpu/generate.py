@@ -42,56 +42,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Optional, Tuple
-
 import numpy as np
 
 
-def _load_run(run_dir: str, role: str) -> Tuple[dict, Optional[object]]:
-    """Restore the latest checkpoint of `role` from a run directory as a
-    raw pytree (no template needed), plus the run's config when found.
+def _load_run(run_dir: str, role: str):
+    """Raw-pytree checkpoint + config resolution, shared with the
+    cross-model rendering path (experiments.visualize)."""
+    from .experiments.visualize import load_run_checkpoint
 
-    Accepts the experiment dir (scans projects), a project's ckpt dir, or
-    a direct orbax role dir — same resolution as
-    experiments.visualize.load_synth_params.
-    """
-    import orbax.checkpoint as ocp
-
-    from .core.config import load_config
-
-    run_dir = os.path.normpath(run_dir)
-    candidates = []  # (ckpt_role_dir, [config_yaml_options])
-    direct_cfg = os.path.join(run_dir, "config", "config.yaml")
-    # when run_dir is <exp>/ckpt/<project>, the config lives at
-    # <exp>/config/<project>/config.yaml
-    proj = os.path.basename(run_dir)
-    sibling_cfg = os.path.join(os.path.dirname(os.path.dirname(run_dir)),
-                               "config", proj, "config.yaml")
-    candidates.append((os.path.join(run_dir, "ckpt", role), [direct_cfg]))
-    candidates.append((os.path.join(run_dir, role),
-                       [direct_cfg, sibling_cfg]))
-    candidates.append((run_dir, [direct_cfg, sibling_cfg]))
-    exp_ckpt = os.path.join(run_dir, "ckpt")
-    if os.path.isdir(exp_ckpt):
-        for prj in sorted(os.listdir(exp_ckpt)):
-            candidates.append((
-                os.path.join(exp_ckpt, prj, role),
-                [os.path.join(run_dir, "config", prj, "config.yaml")]))
-    for cand, cfg_paths in candidates:
-        if not os.path.isdir(cand):
-            continue
-        mgr = ocp.CheckpointManager(os.path.abspath(cand))
-        step = mgr.latest_step()
-        if step is None:
-            continue
-        state = mgr.restore(step)
-        config = None
-        for cp in cfg_paths:
-            if cp and os.path.exists(cp):
-                config = load_config(cp)
-                break
-        return state, config
-    raise FileNotFoundError(f"no '{role}' checkpoint under {run_dir}")
+    return load_run_checkpoint(run_dir, role)
 
 
 def chain_joint_model(n_joints: int):
@@ -163,7 +122,7 @@ def main(argv=None):
     from .experiments.visualize import render_rgb_videos
     from .models import ResidualBehaviorNet
     from .models.flows import LatentFlow
-    from .models.vunet import VUNet
+    from .models.vunet import vunet_from_config
     from .pipeline import BehaviorTransferPipeline
 
     braw, bcfg = _load_run(args.behavior_model, "reg_ckpt")
@@ -224,11 +183,13 @@ def main(argv=None):
 
             apps, extrs, intrs, sizes = [], [], [], []
             for i in range(len(kps)):
-                a, e, ii, sz = get_synth_input(ds, i, spatial)
                 if s_inplane:
-                    # the synth run consumes the 30ch part stack, not the
-                    # raw appearance (reference lib/logging.py:1439-1545
-                    # applies the same normalization for inplane models)
+                    # the synth run consumes the 30ch part stack
+                    # (reference _get_app_img(tid, inplane_norm=True)).
+                    # Image AND rendering keypoints must come from the
+                    # SAME dict/index — use the dataset's own (reduced)
+                    # datadict for both (get_synth_input reads the larger
+                    # complete dict, whose index i is a different frame).
                     if not getattr(ds.joint_model, "norm_T", None):
                         raise SystemExit(
                             "inplane synth run but the behavior dataset's "
@@ -236,13 +197,18 @@ def main(argv=None):
                             "(norm_T); supply app_img via --request")
                     from .data.parts import normalize_parts
 
-                    raw = ((a + 1.0) * 127.5).astype(np.uint8)
-                    kr = (ds._get_kps_for_rendering(i)
-                          * (spatial / float(ds.spatial_size)))
+                    img = ds._prep_image(i)  # RGB at ds.spatial_size
+                    kr = ds._get_kps_for_rendering(i)  # same-index pixels
                     a = normalize_parts(
-                        raw, kr, ds.joint_model,
+                        img, kr, ds.joint_model,
                         spatial // (2 ** s_boxf)
                     ).astype(np.float32) / 127.5 - 1.0
+                    dd_i = ds.datadict
+                    e = np.asarray(dd_i["extrinsics_univ"][i], np.float32)
+                    ii = np.asarray(dd_i["intrinsics_univ"][i], np.float32)
+                    sz = np.asarray(dd_i["image_size"][i], np.float32)
+                else:
+                    a, e, ii, sz = get_synth_input(ds, i, spatial)
                 apps.append(a)
                 extrs.append(e)
                 intrs.append(ii)
@@ -270,6 +236,12 @@ def main(argv=None):
     if args.mode == "transfer" and source is None:
         raise SystemExit("--mode transfer needs `source` sequences in the "
                          "request file")
+    if source is not None:
+        if source.ndim != 3 or source.shape[0] != B \
+                or source.shape[-1] != K:
+            raise SystemExit(
+                f"request source must be (B={B}, T, {K}); got "
+                f"{source.shape}")
     mean = np.asarray(req.get("norm_mean", np.zeros(K)), np.float32)
     std = np.asarray(req.get("norm_std", np.ones(K)), np.float32)
     dim_to_use = np.asarray(req.get("dim_to_use", np.arange(K)), np.int64)
@@ -293,12 +265,10 @@ def main(argv=None):
             app = np.stack([cv2.resize(a, (app_hw, app_hw)) for a in app])
     else:
         app = np.full((B, app_hw, app_hw, app_ch), 0.1, np.float32)
-    extr = np.asarray(req.get("extrinsics",
-                              _default_camera(B, spatial)[0]), np.float32)
-    intr = np.asarray(req.get("intrinsics",
-                              _default_camera(B, spatial)[1]), np.float32)
-    imsize = np.asarray(req.get("image_size",
-                                _default_camera(B, spatial)[2]), np.float32)
+    extr_d, intr_d, imsize_d = _default_camera(B, spatial)
+    extr = np.asarray(req.get("extrinsics", extr_d), np.float32)
+    intr = np.asarray(req.get("intrinsics", intr_d), np.float32)
+    imsize = np.asarray(req.get("image_size", imsize_d), np.float32)
 
     n_joints = int(len(dim_to_use)) // 3
     jm = jm_override or (detailed_joint_model(world_coords=True)
@@ -321,21 +291,11 @@ def main(argv=None):
             flow_hidden_depth=int(barch.get("flow_hidden_depth", 2)),
             n_flows=int(barch.get("n_flows", 15)),
         )
-    # mirror the synth driver's construction exactly so ANY trained run
-    # loads (experiments/shape_and_pose_net.py:_build_models): variant from
-    # the experiment name, inplane appearance stack, scale algebra knobs
-    vunet = VUNet(
-        spatial_size=spatial,
-        n_channels_x=30 if s_inplane else 3,
-        nf_start=int(sarch.get("nf_start", 8)),
-        nf_max=int(sarch.get("nf_max", 16)),
-        n_latent_scales=int(sarch.get("n_latent_scales", 2)),
-        bottleneck_factor=int(sdata.get("bottleneck_factor", 2)),
-        box_factor=s_boxf,
-        n_scales_cfg=int(sarch.get("n_scales", 0)),
-        subpixel_upsampling=bool(sarch.get("subpixel_upsampling", True)),
-        conv_layer_type=str(sarch.get("conv_layer_type", "l1")),
-        variant="org" if s_exp == "vunet" else "alter",
+    # the shared builder reconstructs the EXACT trained param tree from
+    # the run's dumped config (same defaults as the training driver);
+    # serving-only knobs layer on top as overrides
+    vunet = vunet_from_config(
+        scfg, "org" if s_exp == "vunet" else "alter",
         dtype=jnp.bfloat16,
         quant=args.quant,
         quant_max_hw=args.quant_max_hw,

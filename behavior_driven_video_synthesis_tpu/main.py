@@ -72,6 +72,10 @@ def load_parameters(config_name: str, restart: bool, debug: bool,
                         break
                     if answer in ("n", "no"):
                         save_config(config, saved_cfg)
+                        # honor the 'start over' choice: drivers restore
+                        # the latest checkpoint unconditionally, so flag
+                        # the run to clear stale checkpoints instead
+                        config.general["fresh_start"] = True
                         break
                     print("Invalid answer! Try again! (y/n)")
             else:

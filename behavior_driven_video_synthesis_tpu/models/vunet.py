@@ -390,6 +390,40 @@ class VUNet(nn.Module):
         return imgs
 
 
+def vunet_from_config(config, variant: str,
+                      n_channels_x: Optional[int] = None, **overrides):
+    """Build a VUNet exactly as the training driver does
+    (experiments/shape_and_pose_net.py:_build_models) from a run config —
+    the single source of truth shared by training, cross-model rendering
+    (--synth_model) and serving (bdvs-generate), so a dumped config.yaml
+    always reconstructs the identical param tree.  ``overrides`` add
+    serving-only knobs (quant, upsample_transpose, dtype, ...)."""
+    arch = config.get("architecture", {}) if config else {}
+    data = config.get("data", {}) if config else {}
+    training = config.get("training", {}) if config else {}
+    if n_channels_x is None:
+        n_channels_x = 30 if bool(data.get("inplane_normalize", False)) \
+            else 3
+    kw = dict(
+        spatial_size=int(data.get("spatial_size", 256)),
+        n_channels_x=n_channels_x,
+        nf_start=int(arch.get("nf_start", 32)),
+        nf_max=int(arch.get("nf_max", 128)),
+        n_latent_scales=int(arch.get("n_latent_scales", 2)),
+        bottleneck_factor=int(data.get("bottleneck_factor", 2)),
+        box_factor=int(data.get("box_factor", 2)),
+        n_scales_cfg=int(arch.get("n_scales", 0)),
+        subpixel_upsampling=bool(arch.get("subpixel_upsampling", True)),
+        conv_layer_type=str(arch.get("conv_layer_type", "l1")),
+        variant=variant,
+        dropout_prob=float(training.get("dropout_prob", 0.0)),
+        dtype=jnp.bfloat16 if bool(training.get("bf16", True))
+        else jnp.float32,
+    )
+    kw.update(overrides)
+    return VUNet(**kw)
+
+
 def calibrate_quant(model: "VUNet", variables, means, stickman):
     """One PTQ calibration pass for a quant="int8_static" VUNet.
 

@@ -65,6 +65,8 @@ def test_existing_run_tty_prompt_overwrite(tmp_path, monkeypatch):
     cfg, dirs = load_parameters(p2, restart=False, debug=False)
     assert cfg.general.seed == 2
     assert cfg.general.restart is False
+    # 'n' = start over: drivers must clear stale checkpoints, not resume
+    assert cfg.general.fresh_start is True
     saved = os.path.join(dirs["config"], "config.yaml")
     with open(saved) as f:
         assert yaml.safe_load(f)["general"]["seed"] == 2

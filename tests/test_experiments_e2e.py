@@ -99,6 +99,18 @@ def test_behavior_net_cli_train_and_infer(tmp_path):
     for png in ("beta_embedding.png", "recon_error_hist.png"):
         assert os.path.exists(os.path.join(gen, png)), f"missing {png}"
 
+    # restart after completion: BOTH stages resume past their budgets and
+    # train nothing more — in particular the flow stage must honor its
+    # restored step instead of re-running all flow epochs
+    from behavior_driven_video_synthesis_tpu.core.checkpoint import (
+        CheckpointManager,
+    )
+
+    fdir = os.path.join(ckpt_root, "flow_ckpt")
+    before = CheckpointManager(fdir).latest_step()
+    main(["--config", cfg, "--debug", "--restart"])
+    assert CheckpointManager(fdir).latest_step() == before
+
 
 def test_mtvae_cli_train_and_infer(tmp_path):
     """MTVAE trains, then the inference protocol (APD/ADE/FDE + self-recon
