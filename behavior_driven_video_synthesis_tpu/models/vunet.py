@@ -56,6 +56,22 @@ def compute_n_scales(spatial_size: int, bottleneck_factor: int,
     return 1 + int(np.round(np.log2(spatial_size))) - bottleneck_factor
 
 
+# VunetRNB wrapped in nn.remat: the backward pass recomputes the block
+# instead of storing its conv/ELU intermediates — the standard TPU
+# memory-for-FLOPs trade (jax.checkpoint) that lets the cvbae train batch
+# grow past the HBM knee.  static_argnums marks the positional `train`
+# flag static.  The __name__ override keeps flax auto-naming (and thus
+# the param tree) IDENTICAL to the plain class, so remat can be flipped
+# on any trained checkpoint (guarded by tests/test_vunet_training.py::
+# test_remat_is_numerically_identical).
+_REMAT_RNB = nn.remat(VunetRNB, static_argnums=(3,))
+_REMAT_RNB.__name__ = "VunetRNB"
+
+
+def _rnb_cls(remat: bool):
+    return _REMAT_RNB if remat else VunetRNB
+
+
 class EncUp(nn.Module):
     """Bottom-up encoder producing a list of per-scale features."""
 
@@ -64,18 +80,20 @@ class EncUp(nn.Module):
     nf_max: int
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> List[jnp.ndarray]:
+        rnb = _rnb_cls(self.remat)
         hs = []
         nf = self.nf_start
         h = self.conv_layer(nf, kernel_size=1, dtype=self.dtype)(x)
         for i in range(self.n_scales):
             for _ in range(2):
-                h = VunetRNB(channels=nf, conv_layer=self.conv_layer,
-                             dropout_prob=self.dropout_prob,
-                             dtype=self.dtype)(h, train=train)
+                h = rnb(channels=nf, conv_layer=self.conv_layer,
+                        dropout_prob=self.dropout_prob,
+                        dtype=self.dtype)(h, None, train)
                 hs.append(h)
             if i + 1 < self.n_scales:
                 nf = min(2 * nf, self.nf_max)
@@ -94,20 +112,22 @@ class EncDown(nn.Module):
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
     upsample_transpose: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, gs: List[jnp.ndarray], *, train: bool = False):
+        rnb = _rnb_cls(self.remat)
         gs = list(gs)
         nf = self.nf
         hs, means, logstds, zs = [], [], [], []
 
         h = self.conv_layer(nf, kernel_size=1, dtype=self.dtype)(gs[-1])
         for i in range(self.n_latent_scales):
-            h = VunetRNB(channels=nf, residual=True,
-                         conv_layer=self.conv_layer,
-                         dropout_prob=self.dropout_prob,
-                         dtype=self.dtype)(h, gs.pop(), train=train)
+            h = rnb(channels=nf, residual=True,
+                    conv_layer=self.conv_layer,
+                    dropout_prob=self.dropout_prob,
+                    dtype=self.dtype)(h, gs.pop(), train)
             hs.append(h)
 
             mu = self.conv_layer(nf, kernel_size=3, padding=1,
@@ -126,10 +146,10 @@ class EncDown(nn.Module):
             zs.append(z)
 
             gz = jnp.concatenate([gs.pop(), z], axis=-1)
-            h = VunetRNB(channels=nf, residual=True,
-                         conv_layer=self.conv_layer,
-                         dropout_prob=self.dropout_prob,
-                         dtype=self.dtype)(h, gz, train=train)
+            h = rnb(channels=nf, residual=True,
+                    conv_layer=self.conv_layer,
+                    dropout_prob=self.dropout_prob,
+                    dtype=self.dtype)(h, gz, train)
             hs.append(h)
 
             h = Upsample(features=nf, subpixel=True,
@@ -137,9 +157,9 @@ class EncDown(nn.Module):
                          transpose=self.upsample_transpose,
                          dtype=self.dtype)(h)
 
-        h = VunetRNB(channels=nf, residual=True, conv_layer=self.conv_layer,
-                     dropout_prob=self.dropout_prob,
-                     dtype=self.dtype)(h, gs.pop(), train=train)
+        h = rnb(channels=nf, residual=True, conv_layer=self.conv_layer,
+                dropout_prob=self.dropout_prob,
+                dtype=self.dtype)(h, gs.pop(), train)
         hs.append(h)
         return hs, means, logstds, zs
 
@@ -159,6 +179,7 @@ class DecDown(nn.Module):
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
     upsample_transpose: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,6 +190,7 @@ class DecDown(nn.Module):
 
         Returns (img_params, hs, prior_params, prior_samples).
         """
+        rnb = _rnb_cls(self.remat)
         gs = list(gs)
         zs_posterior = list(zs_posterior) if zs_posterior else []
         hs, ps, zs = [], [], []
@@ -176,10 +198,10 @@ class DecDown(nn.Module):
         nf = self.nf_in
         h = self.conv_layer(nf, kernel_size=1, dtype=self.dtype)(gs[-1])
         for i in range(self.n_scales):
-            h = VunetRNB(channels=nf, residual=True,
-                         conv_layer=self.conv_layer,
-                         dropout_prob=self.dropout_prob,
-                         dtype=self.dtype)(h, gs.pop(), train=train)
+            h = rnb(channels=nf, residual=True,
+                    conv_layer=self.conv_layer,
+                    dropout_prob=self.dropout_prob,
+                    dtype=self.dtype)(h, gs.pop(), train)
             hs.append(h)
 
             if i < self.n_latent_scales:
@@ -189,20 +211,20 @@ class DecDown(nn.Module):
                     else:
                         z = jax.random.normal(self.make_rng("sample"),
                                               h.shape, h.dtype)
-                    h = VunetRNB(channels=nf, residual=True,
-                                 conv_layer=self.conv_layer,
-                                 dropout_prob=self.dropout_prob,
-                                 dtype=self.dtype)(h, z, train=train)
+                    h = rnb(channels=nf, residual=True,
+                            conv_layer=self.conv_layer,
+                            dropout_prob=self.dropout_prob,
+                            dtype=self.dtype)(h, z, train)
                 else:
                     h, p, z_prior = self._autoregressive_scale(
                         h, zs_posterior.pop(0) if training else None,
                         nf, train=train)
                     ps.append(p)
                     zs.append(z_prior)
-            h = VunetRNB(channels=nf, residual=True,
-                         conv_layer=self.conv_layer,
-                         dropout_prob=self.dropout_prob,
-                         dtype=self.dtype)(h, gs.pop(), train=train)
+            h = rnb(channels=nf, residual=True,
+                    conv_layer=self.conv_layer,
+                    dropout_prob=self.dropout_prob,
+                    dtype=self.dtype)(h, gs.pop(), train)
             hs.append(h)
 
             if i + 1 < self.n_scales:
@@ -230,13 +252,14 @@ class DecDown(nn.Module):
         subsampling groups; predict each group's prior mean from features
         that have seen the previous groups' (posterior at train / sampled at
         test) values.  Fixed 4-iteration unroll."""
+        rnb = _rnb_cls(self.remat)
         training = z_posterior is not None
         if training:
             z_groups_post = jnp.split(space_to_depth(z_posterior, 2), 4,
                                       axis=-1)
-        pre = VunetRNB(channels=nf, conv_layer=self.conv_layer,
-                       dropout_prob=self.dropout_prob,
-                       dtype=self.dtype)(h, train=train)
+        pre = rnb(channels=nf, conv_layer=self.conv_layer,
+                  dropout_prob=self.dropout_prob,
+                  dtype=self.dtype)(h, None, train)
         p_features = space_to_depth(pre, 2)
 
         p_groups, z_groups = [], []
@@ -250,11 +273,11 @@ class DecDown(nn.Module):
             z_groups.append(z_group)
             feedback = z_groups_post[l] if training else z_group
             if l + 1 < 4:
-                p_features = VunetRNB(channels=4 * nf, residual=True,
-                                      conv_layer=self.conv_layer,
-                                      dropout_prob=self.dropout_prob,
-                                      dtype=self.dtype)(
-                    p_features, feedback, train=train)
+                p_features = rnb(channels=4 * nf, residual=True,
+                                 conv_layer=self.conv_layer,
+                                 dropout_prob=self.dropout_prob,
+                                 dtype=self.dtype)(
+                    p_features, feedback, train)
 
         p = depth_to_space(jnp.concatenate(p_groups, axis=-1), 2)
         z_prior = depth_to_space(jnp.concatenate(z_groups, axis=-1), 2)
@@ -289,6 +312,8 @@ class VUNet(nn.Module):
     # Fuse subpixel upsamples into transposed convs (same params/numerics,
     # skips the depth_to_space relayout copies; needs the l1 conv layer)
     upsample_transpose: bool = False
+    # rematerialize every RNB in backward (memory-for-FLOPs; see _rnb_cls)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -319,7 +344,8 @@ class VUNet(nn.Module):
         self.eu = EncUp(
             n_scales=self.n_scales_x, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer,
-            dropout_prob=self.dropout_prob, dtype=self.dtype,
+            dropout_prob=self.dropout_prob, remat=self.remat,
+            dtype=self.dtype,
         )
         if self.upsample_transpose:
             assert conv_layer is NormConv2d, (
@@ -328,12 +354,14 @@ class VUNet(nn.Module):
             nf=self.nf_max, n_latent_scales=self.n_latent_scales,
             variant=self.variant, conv_layer=conv_layer,
             dropout_prob=self.dropout_prob,
-            upsample_transpose=self.upsample_transpose, dtype=self.dtype,
+            upsample_transpose=self.upsample_transpose, remat=self.remat,
+            dtype=self.dtype,
         )
         self.du = EncUp(
             n_scales=self.n_scales, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer_pf,
-            dropout_prob=self.dropout_prob, dtype=self.dtype,
+            dropout_prob=self.dropout_prob, remat=self.remat,
+            dtype=self.dtype,
         )
         self.dd = DecDown(
             n_scales=self.n_scales, nf_in=self.nf_max,
@@ -342,7 +370,8 @@ class VUNet(nn.Module):
             subpixel_upsampling=self.subpixel_upsampling,
             variant=self.variant, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob,
-            upsample_transpose=self.upsample_transpose, dtype=self.dtype,
+            upsample_transpose=self.upsample_transpose, remat=self.remat,
+            dtype=self.dtype,
         )
 
     def __call__(self, x, c, *, train: bool = False):
@@ -417,6 +446,7 @@ def vunet_from_config(config, variant: str,
         conv_layer_type=str(arch.get("conv_layer_type", "l1")),
         variant=variant,
         dropout_prob=float(training.get("dropout_prob", 0.0)),
+        remat=bool(training.get("remat", False)),
         dtype=jnp.bfloat16 if bool(training.get("bf16", True))
         else jnp.float32,
     )

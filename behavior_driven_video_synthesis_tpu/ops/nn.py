@@ -452,7 +452,9 @@ class VunetRNB(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, a=None, *, train: bool = False):
+    def __call__(self, x, a=None, train: bool = False):
+        # train is positional-or-keyword so nn.remat(static_argnums=(3,))
+        # can mark it static (kwargs cannot be static under jax.checkpoint)
         if self.act_fn is not None:
             act = self.act_fn if self.activate else (lambda v: v)
         else:
