@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--perceptual", type=str, default="vgg",
                     choices=["vgg", "laplacian"])
     ap.add_argument("--no-regressor", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize each RNB in backward "
+                         "(training.remat) — HBM for FLOPs")
     args = ap.parse_args()
     B, S = args.batch, args.spatial
 
@@ -66,7 +69,7 @@ def main():
                      "n_init_batches": 4},
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dtype=jnp.bfloat16)
+                  remat=args.remat, dtype=jnp.bfloat16)
     if args.perceptual == "vgg":
         vgg = PerceptualVGG19()
     else:
@@ -121,13 +124,17 @@ def main():
             float(jnp.sum(state.gamma))
             times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"cvbae train {S}px B={B} perceptual={args.perceptual}: "
+    print(f"cvbae train {S}px B={B} perceptual={args.perceptual}"
+          f"{' remat' if args.remat else ''}: "
           f"{best / args.steps * 1e3:.1f} ms/step = "
           f"{B * args.steps / best:.1f} img/s (best of {args.runs})")
     rows = device_op_table(tdir, runs=args.runs)
     total_us = sum(r["us_per_run"] for r in rows)
-    print(f"total device us/run: {total_us:.0f} "
-          f"({B * args.steps / (total_us / 1e6):.0f} img/s device-side)")
+    if total_us > 0:
+        print(f"total device us/run: {total_us:.0f} "
+              f"({B * args.steps / (total_us / 1e6):.0f} img/s device-side)")
+    else:
+        print("total device us/run: 0 (no device ops in trace — CPU run?)")
     for r in rows[:args.top]:
         m = r.get("meta") or {}
         tag = m.get("long_name") or m.get("tf_op") or m.get("name") or ""
