@@ -293,7 +293,10 @@ def test_remat_is_numerically_identical():
 
     l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v0)
     l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v1)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=0, atol=0)
+    # bitwise loss equality held when written, but XLA does not guarantee
+    # it across versions/hosts for two differently-fused programs — allow
+    # low-order-bit drift
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     def _close(a, b):
         a, b = np.asarray(a), np.asarray(b)
         # near-zero entries see absolute noise from cancellation of the
