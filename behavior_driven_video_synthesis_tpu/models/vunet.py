@@ -56,14 +56,26 @@ def compute_n_scales(spatial_size: int, bottleneck_factor: int,
     return 1 + int(np.round(np.log2(spatial_size))) - bottleneck_factor
 
 
-# VunetRNB wrapped in nn.remat: the backward pass recomputes the block
-# instead of storing its conv/ELU intermediates — the standard TPU
-# memory-for-FLOPs trade (jax.checkpoint) that lets the cvbae train batch
-# grow past the HBM knee.  static_argnums marks the positional `train`
-# flag static.  The __name__ override keeps flax auto-naming (and thus
-# the param tree) IDENTICAL to the plain class, so remat can be flipped
-# on any trained checkpoint (guarded by tests/test_vunet_training.py::
-# test_remat_is_numerically_identical).
+# Rematerialization (jax.checkpoint / nn.remat): the backward pass
+# recomputes the wrapped block instead of storing its intermediates — the
+# standard TPU memory-for-FLOPs trade, intended to let the cvbae train
+# batch grow past the HBM knee.  Two granularities (training.remat):
+#   "rnb"    — checkpoint every VunetRNB (2 convs).
+#   "subnet" — checkpoint the four subnets (eu/ed/du/dd) wholesale: only
+#              the subnet boundary lists are stored; each subnet forward
+#              is recomputed once in backward.
+# HONEST STATUS (examples/remat_memory.py, XLA:CPU buffer assignment,
+# 128px B=8): temp memory went UP with both modes (+11% rnb, +13% subnet)
+# — on the CPU lowering the backward temp arena is dominated by conv
+# workspaces, not stored activations, and the prevent_cse barriers block
+# fusions.  The TPU lowering accounts differently (MXU convs carry no
+# im2col workspaces); whether remat pays on the chip is decided by the
+# queued B-sweep (examples/profile_train.py --remat).  Default stays off.
+# static_argnums marks the positional bool flags static (kwargs cannot be
+# static under jax.checkpoint).  The __name__ override keeps flax
+# auto-naming (and thus the param tree) IDENTICAL to the plain classes,
+# so remat can be flipped on any trained checkpoint (guarded by
+# tests/test_vunet_training.py::test_remat_is_numerically_identical).
 _REMAT_RNB = nn.remat(VunetRNB, static_argnums=(3,))
 _REMAT_RNB.__name__ = "VunetRNB"
 
@@ -84,7 +96,7 @@ class EncUp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False) -> List[jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         rnb = _rnb_cls(self.remat)
         hs = []
         nf = self.nf_start
@@ -116,7 +128,7 @@ class EncDown(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, gs: List[jnp.ndarray], *, train: bool = False):
+    def __call__(self, gs: List[jnp.ndarray], train: bool = False):
         rnb = _rnb_cls(self.remat)
         gs = list(gs)
         nf = self.nf
@@ -185,7 +197,7 @@ class DecDown(nn.Module):
     @nn.compact
     def __call__(self, gs: List[jnp.ndarray],
                  zs_posterior: Optional[List[jnp.ndarray]],
-                 *, training: bool, train: bool = False):
+                 training: bool = True, train: bool = False):
         """training=True consumes zs_posterior; else samples the prior.
 
         Returns (img_params, hs, prior_params, prior_samples).
@@ -288,6 +300,18 @@ class DecDown(nn.Module):
         return h, p, z_prior
 
 
+# Subnet-granularity remat (training.remat: "subnet" — see the note at
+# _REMAT_RNB).  In VUNet.setup the subnets are bound to attribute names
+# (eu/ed/du/dd), so the param tree is attribute-named and identical either
+# way; the __name__ override just keeps reprs clean.
+_REMAT_ENC_UP = nn.remat(EncUp, static_argnums=(2,))
+_REMAT_ENC_UP.__name__ = "EncUp"
+_REMAT_ENC_DOWN = nn.remat(EncDown, static_argnums=(2,))
+_REMAT_ENC_DOWN.__name__ = "EncDown"
+_REMAT_DEC_DOWN = nn.remat(DecDown, static_argnums=(3, 4))
+_REMAT_DEC_DOWN.__name__ = "DecDown"
+
+
 class VUNet(nn.Module):
     """Full VUNet with org/alter variants.
 
@@ -312,8 +336,9 @@ class VUNet(nn.Module):
     # Fuse subpixel upsamples into transposed convs (same params/numerics,
     # skips the depth_to_space relayout copies; needs the l1 conv layer)
     upsample_transpose: bool = False
-    # rematerialize every RNB in backward (memory-for-FLOPs; see _rnb_cls)
-    remat: bool = False
+    # backward rematerialization (memory-for-FLOPs; see note at _REMAT_RNB):
+    # False | "subnet" (recommended) | "rnb"/True (per-block, for ablation)
+    remat: Any = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -341,36 +366,41 @@ class VUNet(nn.Module):
                 "quantized serving requires the l1 (NormConv2d) conv layer")
             conv_layer_pf = partial(NormConv2d, quant=self.quant,
                                     quant_max_hw=self.quant_max_hw)
-        self.eu = EncUp(
+        subnet_remat = self.remat == "subnet"
+        rnb_remat = self.remat is True or self.remat == "rnb"
+        enc_up_cls = _REMAT_ENC_UP if subnet_remat else EncUp
+        enc_down_cls = _REMAT_ENC_DOWN if subnet_remat else EncDown
+        dec_down_cls = _REMAT_DEC_DOWN if subnet_remat else DecDown
+        self.eu = enc_up_cls(
             n_scales=self.n_scales_x, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer,
-            dropout_prob=self.dropout_prob, remat=self.remat,
+            dropout_prob=self.dropout_prob, remat=rnb_remat,
             dtype=self.dtype,
         )
         if self.upsample_transpose:
             assert conv_layer is NormConv2d, (
                 "upsample_transpose requires the l1 (NormConv2d) conv layer")
-        self.ed = EncDown(
+        self.ed = enc_down_cls(
             nf=self.nf_max, n_latent_scales=self.n_latent_scales,
             variant=self.variant, conv_layer=conv_layer,
             dropout_prob=self.dropout_prob,
-            upsample_transpose=self.upsample_transpose, remat=self.remat,
+            upsample_transpose=self.upsample_transpose, remat=rnb_remat,
             dtype=self.dtype,
         )
-        self.du = EncUp(
+        self.du = enc_up_cls(
             n_scales=self.n_scales, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer_pf,
-            dropout_prob=self.dropout_prob, remat=self.remat,
+            dropout_prob=self.dropout_prob, remat=rnb_remat,
             dtype=self.dtype,
         )
-        self.dd = DecDown(
+        self.dd = dec_down_cls(
             n_scales=self.n_scales, nf_in=self.nf_max,
             nf_last=self.nf_start, nf_out=3,
             n_latent_scales=self.n_latent_scales,
             subpixel_upsampling=self.subpixel_upsampling,
             variant=self.variant, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob,
-            upsample_transpose=self.upsample_transpose, remat=self.remat,
+            upsample_transpose=self.upsample_transpose, remat=rnb_remat,
             dtype=self.dtype,
         )
 
@@ -379,32 +409,31 @@ class VUNet(nn.Module):
 
         Returns (imgs, posterior_means, posterior_logstds_or_None,
         prior_params, activations)."""
-        hs = self.eu(x, train=train)
-        es, means, logstds, zs_posterior = self.ed(hs, train=train)
-        gs = self.du(c, train=train)
-        imgs, ds, ps, _ = self.dd(gs, zs_posterior, training=True,
-                                  train=train)
+        hs = self.eu(x, train)
+        es, means, logstds, zs_posterior = self.ed(hs, train)
+        gs = self.du(c, train)
+        imgs, ds, ps, _ = self.dd(gs, zs_posterior, True, train)
         activations = (hs, es, gs, ds)
         return imgs, means, logstds, ps, activations
 
     def test_forward(self, c):
         """Sample appearance from the prior given only the stickman."""
-        gs = self.du(c)
-        imgs, _, _, _ = self.dd(gs, None, training=False)
+        gs = self.du(c, False)
+        imgs, _, _, _ = self.dd(gs, None, False, False)
         return imgs
 
     def transfer(self, x, c):
         """Appearance transfer: posterior means instead of samples."""
-        hs = self.eu(x)
-        _, means, _, _ = self.ed(hs)
-        gs = self.du(c)
-        imgs, _, _, _ = self.dd(gs, list(means), training=True)
+        hs = self.eu(x, False)
+        _, means, _, _ = self.ed(hs, False)
+        gs = self.du(c, False)
+        imgs, _, _, _ = self.dd(gs, list(means), True, False)
         return imgs
 
     def encode_means(self, x):
         """Posterior means only (for probes / transfer caching)."""
-        hs = self.eu(x)
-        _, means, logstds, _ = self.ed(hs)
+        hs = self.eu(x, False)
+        _, means, logstds, _ = self.ed(hs, False)
         return means, logstds
 
     def transfer_cached(self, means, c):
@@ -414,8 +443,8 @@ class VUNet(nn.Module):
         once per frame — eu+ed drop out of the per-frame cost entirely
         (a TPU-serving optimization absent from the reference, which
         re-encodes per frame; data_conversions_3d.py:1161-1173)."""
-        gs = self.du(c)
-        imgs, _, _, _ = self.dd(gs, list(means), training=True)
+        gs = self.du(c, False)
+        imgs, _, _, _ = self.dd(gs, list(means), True, False)
         return imgs
 
 
@@ -446,7 +475,8 @@ def vunet_from_config(config, variant: str,
         conv_layer_type=str(arch.get("conv_layer_type", "l1")),
         variant=variant,
         dropout_prob=float(training.get("dropout_prob", 0.0)),
-        remat=bool(training.get("remat", False)),
+        # False | "subnet" | "rnb" (YAML true -> per-RNB, kept for ablation)
+        remat=training.get("remat", False) or False,
         dtype=jnp.bfloat16 if bool(training.get("bf16", True))
         else jnp.float32,
     )

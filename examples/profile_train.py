@@ -55,9 +55,10 @@ def main():
     ap.add_argument("--perceptual", type=str, default="vgg",
                     choices=["vgg", "laplacian"])
     ap.add_argument("--no-regressor", action="store_true")
-    ap.add_argument("--remat", action="store_true",
-                    help="rematerialize each RNB in backward "
-                         "(training.remat) — HBM for FLOPs")
+    ap.add_argument("--remat", nargs="?", const="subnet", default=False,
+                    choices=["rnb", "subnet"],
+                    help="rematerialize in backward (training.remat): "
+                         "per-RNB or per-subnet — HBM for FLOPs")
     args = ap.parse_args()
     B, S = args.batch, args.spatial
 
@@ -125,7 +126,7 @@ def main():
             times.append(time.perf_counter() - t0)
     best = min(times)
     print(f"cvbae train {S}px B={B} perceptual={args.perceptual}"
-          f"{' remat' if args.remat else ''}: "
+          f"{' remat=' + args.remat if args.remat else ''}: "
           f"{best / args.steps * 1e3:.1f} ms/step = "
           f"{B * args.steps / best:.1f} img/s (best of {args.runs})")
     rows = device_op_table(tdir, runs=args.runs)

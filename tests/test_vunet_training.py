@@ -255,14 +255,15 @@ class TestLaplacianPerceptual:
         assert np.isfinite(float(metrics["loss"]))
 
 
-def test_remat_is_numerically_identical():
-    """`VUNet(remat=True)` must produce the SAME param tree, bitwise-equal
-    params/loss, and numerically equivalent gradients as remat=False — it
-    only changes what the backward pass stores (jax.checkpoint per RNB),
-    so it can be flipped on any trained checkpoint via training.remat.
-    Gradients are compared at a tight tolerance, not bitwise: the
-    rematerialized forward is a separately fused/reassociated XLA program
-    (measured max rel diff ~2e-6 in f32)."""
+@pytest.mark.parametrize("mode", ["rnb", "subnet"])
+def test_remat_is_numerically_identical(mode):
+    """`VUNet(remat=...)` must produce the SAME param tree, near-bitwise
+    loss, and numerically equivalent gradients as remat=False — it only
+    changes what the backward pass stores (jax.checkpoint per RNB or per
+    subnet), so it can be flipped on any trained checkpoint via
+    training.remat.  Gradients are compared at a tight tolerance, not
+    bitwise: the rematerialized forward is a separately fused/reassociated
+    XLA program (measured max rel diff ~2e-6 in f32)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -272,7 +273,7 @@ def test_remat_is_numerically_identical():
     kw = dict(spatial_size=32, nf_start=4, nf_max=8, n_latent_scales=2,
               bottleneck_factor=2, variant="alter", dropout_prob=0.1)
     m0 = VUNet(**kw, remat=False)
-    m1 = VUNet(**kw, remat=True)
+    m1 = VUNet(**kw, remat=mode)
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32) * 0.3
