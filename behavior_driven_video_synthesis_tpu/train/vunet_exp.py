@@ -81,6 +81,14 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
     imax = float(tr.get("information_max", 1000.0))
     n_init_batches = int(tr.get("n_init_batches", 4))
     is_cvae = bool(config.architecture.get("cvae", False))
+    # gradient accumulation: split the batch into `grad_accum` sequential
+    # microbatches (lax.scan), average their grads, apply ONE optimizer
+    # update.  Peak activation memory is one microbatch's backward — the
+    # guaranteed HBM lever for large effective batches (vs. remat, whose
+    # win is lowering-dependent; see models/vunet.py).  Exact for this
+    # model: every loss term is a per-sample mean and there is no
+    # batch-coupled normalization (weight-norm convs only).
+    grad_accum = int(tr.get("grad_accum", 1))
     use_gan = disc_model is not None
     if use_gan:
         from .gan import make_gan_update
@@ -98,13 +106,13 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
         app_img = batch.get("app_img", target)
         k_s, k_d, k_r = jax.random.split(key, 3)
 
-        def loss_fn(params):
+        def loss_fn(params, app_i, shape_i, target_i, ks, kd):
             out, means, logstds, ps, _ = vunet.apply(
-                {"params": params}, app_img, shape_img,
-                rngs={"sample": k_s, "dropout": k_d}, train=True,
+                {"params": params}, app_i, shape_i,
+                rngs={"sample": ks, "dropout": kd}, train=True,
             )
-            feats_t = vgg.apply(vgg_variables, target)
-            feats_p = vgg.apply(vgg_variables, out.astype(target.dtype))
+            feats_t = vgg.apply(vgg_variables, target_i)
+            feats_p = vgg.apply(vgg_variables, out.astype(target_i.dtype))
             ll_dict = vgg_loss(feats_t, feats_p, vgg_weights)
             likelihood = ll_weight * sum(ll_dict.values())
             kl = compute_kl_with_prior(means, logstds)
@@ -114,14 +122,47 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
             aux = {"likelihood_loss": likelihood, "kl_loss": kl,
                    "means": means, "out": out}
             if use_gan:
-                g_loss = gan_gen_loss(state.gan, out.astype(target.dtype))
+                g_loss = gan_gen_loss(state.gan, out.astype(target_i.dtype))
                 loss = loss + gan_weight * g_loss
                 aux["gen_gan_loss"] = g_loss
             aux.update({f"ll_{k}": v for k, v in ll_dict.items()})
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.vunet.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (loss, aux), grads = grad_fn(state.vunet.params, app_img,
+                                         shape_img, target, k_s, k_d)
+        else:
+            bsz = target.shape[0]
+            assert bsz % grad_accum == 0, (
+                f"batch {bsz} not divisible by grad_accum={grad_accum}")
+            msz = bsz // grad_accum
+
+            def to_micro(t):
+                return t.reshape((grad_accum, msz) + t.shape[1:])
+
+            def micro_step(g_sum, inp):
+                a_i, s_i, t_i, i = inp
+                (l_i, aux_i), g_i = grad_fn(
+                    state.vunet.params, a_i, s_i, t_i,
+                    jax.random.fold_in(k_s, i), jax.random.fold_in(k_d, i))
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g_i)
+                return g_sum, (l_i, aux_i)
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.vunet.params)
+            g_sum, (losses, auxs) = jax.lax.scan(
+                micro_step, g0,
+                (to_micro(app_img), to_micro(shape_img), to_micro(target),
+                 jnp.arange(grad_accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, g_sum)
+            loss = jnp.mean(losses)
+            # scalars -> mean over microbatches; stacked per-sample tensors
+            # (out, latent means) -> flatten back to the full batch
+            aux = {k: (jnp.mean(v) if jnp.ndim(v) == 1 else
+                       v.reshape((bsz,) + v.shape[2:]))
+                   for k, v in auxs.items() if k != "means"}
+            aux["means"] = [m.reshape((bsz,) + m.shape[2:])
+                            for m in auxs["means"]]
 
         new_reg = state.regressor
         loss_reg = jnp.zeros(())

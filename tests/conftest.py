@@ -39,6 +39,7 @@ _SLOW = {
     "test_vunet_oracle.py",                     # whole module: numpy oracle
     "test_vunet_training.py::TestLaplacianPerceptual::test_cvbae_step_with_laplacian",
     "test_vunet_training.py::test_remat_is_numerically_identical",
+    "test_vunet_training.py::test_grad_accum_matches_manual_average",
     "test_dormant_models.py::TestRIM",
     "test_dormant_models.py::TestConcatFlow",
     "test_dormant_models.py::TestSmallModules::test_resnet_block_2d",

@@ -306,3 +306,85 @@ def test_remat_is_numerically_identical(mode):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=atol)
 
     jax.tree_util.tree_map(_close, g0, g1)
+
+
+def test_grad_accum_matches_manual_average():
+    """training.grad_accum must equal: per-microbatch grads (with the
+    step's fold_in(i) rng schedule) averaged, then ONE optimizer update.
+    Verified against an independent re-derivation of the cvbae loss."""
+    from behavior_driven_video_synthesis_tpu.models.perceptual import (
+        LaplacianPyramidFeatures,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.train.losses import (
+        compute_kl_with_prior,
+        vgg_loss,
+    )
+    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+        create_vunet_state,
+        make_cvbae_train_step,
+    )
+
+    S, B, ACC = 32, 4, 2
+    vunet = VUNet(spatial_size=S, nf_start=4, nf_max=8, n_latent_scales=2,
+                  bottleneck_factor=2, variant="alter")
+    vgg = LaplacianPyramidFeatures()
+    vgg_vars = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    rng = np.random.RandomState(0)
+    batch = {
+        "app_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "pose_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "stickman": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+    }
+    config = Config({
+        "architecture": {"cvae": False},
+        "training": {"ll_weight": 1.0, "train_regressor": False,
+                     "gamma_step": 1e-5, "information_max": 10.0,
+                     "n_init_batches": 0, "grad_accum": ACC},
+    })
+    txs = {"vunet": optax.adam(5e-4)}
+    key = jax.random.PRNGKey(0)
+    state0 = create_vunet_state(key, vunet, None, vgg, txs, batch,
+                                gamma_init=0.1)
+    # state.step starts at 0 == n_init_batches, so the KL term is OFF this
+    # step (jnp.where(step > n_init, ...)); keep the oracle consistent
+    step = jax.jit(make_cvbae_train_step(vunet, None, vgg, vgg_vars, txs,
+                                         config))
+    step_key = jax.random.PRNGKey(7)
+    state1, metrics = step(state0, batch, step_key)
+
+    # independent oracle: same rng schedule, explicit python loop
+    k_s, k_d, _ = jax.random.split(step_key, 3)
+
+    def manual_loss(params, a, s, t, ks, kd):
+        out, means, logstds, _, _ = vunet.apply(
+            {"params": params}, a, s, rngs={"sample": ks, "dropout": kd},
+            train=True)
+        ll = sum(vgg_loss(vgg.apply(vgg_vars, t),
+                          vgg.apply(vgg_vars, out.astype(t.dtype)),
+                          [1.0] * 6).values())
+        kl = compute_kl_with_prior(means, logstds)
+        return ll + jnp.where(state0.step > 0, state0.gamma * kl, 0.0)
+
+    msz = B // ACC
+    g_acc = None
+    for i in range(ACC):
+        sl = slice(i * msz, (i + 1) * msz)
+        g_i = jax.grad(manual_loss)(
+            state0.vunet.params, batch["app_img"][sl],
+            batch["stickman"][sl], batch["pose_img"][sl],
+            jax.random.fold_in(k_s, i), jax.random.fold_in(k_d, i))
+        g_acc = g_i if g_acc is None else jax.tree_util.tree_map(
+            jnp.add, g_acc, g_i)
+    g_avg = jax.tree_util.tree_map(lambda g: g / ACC, g_acc)
+    updates, _ = txs["vunet"].update(
+        g_avg, state0.vunet.opt_state, state0.vunet.params)
+    want = optax.apply_updates(state0.vunet.params, updates)
+
+    def _close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        atol = 1e-6 * max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=atol)
+
+    jax.tree_util.tree_map(_close, state1.vunet.params, want)
+    assert np.isfinite(float(metrics["loss"]))
