@@ -70,6 +70,39 @@ def create_vunet_state(key, vunet, regressor, vgg, txs, sample_batch,
     )
 
 
+def _accum_grads(grad_fn, params, tensors, k_s, k_d, accum):
+    """Run `grad_fn(params, *microbatch, ks, kd)` over `accum` sequential
+    microbatches (lax.scan) and average.  `tensors` are batch-leading
+    arrays split on axis 0; rngs follow the fold_in(i) schedule.  Returns
+    (mean_loss, combined_aux, averaged_grads) where scalar aux leaves are
+    averaged and per-sample leaves are flattened back to the full batch.
+    """
+    bsz = tensors[0].shape[0]
+    assert bsz % accum == 0, (
+        f"batch {bsz} not divisible by grad_accum={accum}")
+    msz = bsz // accum
+
+    def to_micro(t):
+        return t.reshape((accum, msz) + t.shape[1:])
+
+    def micro_step(g_sum, inp):
+        i = inp[-1]
+        (l_i, aux_i), g_i = grad_fn(params, *inp[:-1],
+                                    jax.random.fold_in(k_s, i),
+                                    jax.random.fold_in(k_d, i))
+        return jax.tree_util.tree_map(jnp.add, g_sum, g_i), (l_i, aux_i)
+
+    g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    g_sum, (losses, auxs) = jax.lax.scan(
+        micro_step, g0,
+        tuple(to_micro(t) for t in tensors) + (jnp.arange(accum),))
+    grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+    aux = jax.tree_util.tree_map(
+        lambda v: jnp.mean(v) if v.ndim == 1
+        else v.reshape((bsz,) + v.shape[2:]), auxs)
+    return jnp.mean(losses), aux, grads
+
+
 def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
                           disc_model=None) -> Callable:
     tr = config.training
@@ -133,36 +166,9 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
             (loss, aux), grads = grad_fn(state.vunet.params, app_img,
                                          shape_img, target, k_s, k_d)
         else:
-            bsz = target.shape[0]
-            assert bsz % grad_accum == 0, (
-                f"batch {bsz} not divisible by grad_accum={grad_accum}")
-            msz = bsz // grad_accum
-
-            def to_micro(t):
-                return t.reshape((grad_accum, msz) + t.shape[1:])
-
-            def micro_step(g_sum, inp):
-                a_i, s_i, t_i, i = inp
-                (l_i, aux_i), g_i = grad_fn(
-                    state.vunet.params, a_i, s_i, t_i,
-                    jax.random.fold_in(k_s, i), jax.random.fold_in(k_d, i))
-                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g_i)
-                return g_sum, (l_i, aux_i)
-
-            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.vunet.params)
-            g_sum, (losses, auxs) = jax.lax.scan(
-                micro_step, g0,
-                (to_micro(app_img), to_micro(shape_img), to_micro(target),
-                 jnp.arange(grad_accum)))
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, g_sum)
-            loss = jnp.mean(losses)
-            # scalars -> mean over microbatches; stacked per-sample tensors
-            # (out, latent means) -> flatten back to the full batch
-            aux = {k: (jnp.mean(v) if jnp.ndim(v) == 1 else
-                       v.reshape((bsz,) + v.shape[2:]))
-                   for k, v in auxs.items() if k != "means"}
-            aux["means"] = [m.reshape((bsz,) + m.shape[2:])
-                            for m in auxs["means"]]
+            loss, aux, grads = _accum_grads(
+                grad_fn, state.vunet.params, (app_img, shape_img, target),
+                k_s, k_d, grad_accum)
 
         new_reg = state.regressor
         loss_reg = jnp.zeros(())
@@ -227,6 +233,7 @@ def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
     tr = config.training
     ll_weight = float(tr.get("ll_weight", 1.0))
     vgg_weights = list(tr.get("vgg_weights", [1.0] * 6))
+    grad_accum = int(tr.get("grad_accum", 1))  # see make_cvbae_train_step
 
     def train_step(state: VunetTrainState, batch, key
                    ) -> Tuple[VunetTrainState, Dict[str, jnp.ndarray]]:
@@ -236,21 +243,27 @@ def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
         k_s, k_d = jax.random.split(key)
         kl_weight = schedules.kl_ramp(state.step, total_steps)
 
-        def loss_fn(params):
+        def loss_fn(params, app_i, shape_i, target_i, ks, kd):
             out, q_means, _, p_means, _ = vunet.apply(
-                {"params": params}, app_img, shape_img,
-                rngs={"sample": k_s, "dropout": k_d}, train=True,
+                {"params": params}, app_i, shape_i,
+                rngs={"sample": ks, "dropout": kd}, train=True,
             )
-            feats_t = vgg.apply(vgg_variables, target)
-            feats_p = vgg.apply(vgg_variables, out.astype(target.dtype))
+            feats_t = vgg.apply(vgg_variables, target_i)
+            feats_p = vgg.apply(vgg_variables, out.astype(target_i.dtype))
             ll_dict = vgg_loss(feats_t, feats_p, vgg_weights)
             likelihood = ll_weight * sum(ll_dict.values())
             kl = compute_kl_loss(p_means, q_means)
             loss = likelihood + kl_weight * kl
             return loss, {"likelihood_loss": likelihood, "kl_loss": kl}
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.vunet.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (loss, aux), grads = grad_fn(state.vunet.params, app_img,
+                                         shape_img, target, k_s, k_d)
+        else:
+            loss, aux, grads = _accum_grads(
+                grad_fn, state.vunet.params, (app_img, shape_img, target),
+                k_s, k_d, grad_accum)
         new_vunet = state.vunet.apply_gradients(txs["vunet"], grads)
         metrics = {"loss": loss, "kl_weight": kl_weight,
                    "grad_norm": optax.global_norm(grads), **aux}
