@@ -197,8 +197,12 @@ class DecDown(nn.Module):
     @nn.compact
     def __call__(self, gs: List[jnp.ndarray],
                  zs_posterior: Optional[List[jnp.ndarray]],
-                 training: bool = True, train: bool = False):
+                 training: bool, train: bool = False):
         """training=True consumes zs_posterior; else samples the prior.
+
+        `training` is positional-required (not keyword-only — nn.remat's
+        static_argnums needs it positional) so every call site must state
+        posterior-vs-prior intent explicitly.
 
         Returns (img_params, hs, prior_params, prior_samples).
         """
@@ -352,6 +356,9 @@ class VUNet(nn.Module):
                 if self.n_channels_x > 3 else self.n_scales)
 
     def setup(self):
+        assert self.remat in (False, True, "rnb", "subnet"), (
+            "training.remat must be one of false/true/'rnb'/'subnet', got "
+            f"{self.remat!r}")
         conv_layer = CONV_LAYERS[self.conv_layer_type]
         conv_layer_pf = conv_layer
         if self.quant != "none":

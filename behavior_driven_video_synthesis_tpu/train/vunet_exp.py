@@ -152,12 +152,17 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
             tuning = 1.0 if is_cvae else state.gamma
             loss = likelihood + jnp.where(
                 state.step > n_init_batches, tuning * kl, 0.0)
-            aux = {"likelihood_loss": likelihood, "kl_loss": kl,
-                   "means": means, "out": out}
+            # aux carries only what the step consumes: under grad_accum
+            # every non-scalar aux leaf is stacked across microbatches by
+            # the scan, so a stray full-batch tensor here (e.g. the
+            # posterior means) would silently undo the accumulation's
+            # memory win.
+            aux = {"likelihood_loss": likelihood, "kl_loss": kl}
             if use_gan:
                 g_loss = gan_gen_loss(state.gan, out.astype(target_i.dtype))
                 loss = loss + gan_weight * g_loss
                 aux["gen_gan_loss"] = g_loss
+                aux["out"] = out
             aux.update({f"ll_{k}": v for k, v in ll_dict.items()})
             return loss, aux
 

@@ -84,8 +84,10 @@ def main():
               f"(donated-aliased {m.alias_size_in_bytes / 2**20:.1f} MiB)")
     for mode in ("rnb", "subnet"):
         ratio = stats[mode] / max(stats[False], 1)
+        word = "less" if ratio <= 1 else "MORE"
         print(f"remat={mode} temp ratio: {ratio:.3f} "
-              f"({(1 - ratio) * 100:.1f}% less live intermediate memory)")
+              f"({abs(1 - ratio) * 100:.1f}% {word} live intermediate "
+              "memory)")
 
 
 if __name__ == "__main__":

@@ -118,5 +118,6 @@ def test_graft_entry_dryrun_driver_topology():
                        capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stderr[-4000:]
     for line in ("dp8: OK", "dp4xtp2: OK", "cvbae dp8: OK",
+                 "cvbae dp2xspatial4: OK",
                  "cvbae dp2xspatial4 remat: OK", "pipeline dp8: OK"):
         assert line in r.stdout, (line, r.stdout)

@@ -388,3 +388,86 @@ def test_grad_accum_matches_manual_average():
 
     jax.tree_util.tree_map(_close, state1.vunet.params, want)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_org_grad_accum_matches_manual_average():
+    """Same oracle as test_grad_accum_matches_manual_average but for the
+    org-VUNet step (make_org_vunet_train_step): grad_accum microbatch
+    grads averaged into ONE update must match an independent python-loop
+    re-derivation with the same fold_in(i) rng schedule — in particular
+    the (app, shape, target) microbatch tuple must land on loss_fn's
+    parameters in the right order."""
+    from behavior_driven_video_synthesis_tpu.core.schedules import kl_ramp
+    from behavior_driven_video_synthesis_tpu.models.perceptual import (
+        LaplacianPyramidFeatures,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.train.losses import (
+        compute_kl_loss,
+        vgg_loss,
+    )
+    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+        create_vunet_state,
+        make_org_vunet_train_step,
+    )
+
+    S, B, ACC, TOTAL = 32, 4, 2, 4
+    vunet = VUNet(spatial_size=S, nf_start=4, nf_max=8, n_latent_scales=2,
+                  bottleneck_factor=2, variant="org")
+    vgg = LaplacianPyramidFeatures()
+    vgg_vars = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    rng = np.random.RandomState(3)
+    # app != pose != stickman so an input-order swap changes the grads
+    batch = {
+        "app_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "pose_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "stickman": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+    }
+    config = Config({
+        "architecture": {},
+        "training": {"ll_weight": 1.0, "grad_accum": ACC},
+    })
+    txs = {"vunet": optax.adam(5e-4)}
+    key = jax.random.PRNGKey(0)
+    state0 = create_vunet_state(key, vunet, None, vgg, txs, batch)
+    # put the step inside the kl ramp so the KL term is live
+    state0 = state0.replace(step=jnp.asarray(3, jnp.int32))
+    step = jax.jit(make_org_vunet_train_step(vunet, vgg, vgg_vars, txs,
+                                             config, total_steps=TOTAL))
+    step_key = jax.random.PRNGKey(11)
+    state1, metrics = step(state0, batch, step_key)
+
+    k_s, k_d = jax.random.split(step_key)
+    kl_w = kl_ramp(state0.step, TOTAL)
+
+    def manual_loss(params, a, s, t, ks, kd):
+        out, q_means, _, p_means, _ = vunet.apply(
+            {"params": params}, a, s, rngs={"sample": ks, "dropout": kd},
+            train=True)
+        ll = sum(vgg_loss(vgg.apply(vgg_vars, t),
+                          vgg.apply(vgg_vars, out.astype(t.dtype)),
+                          [1.0] * 6).values())
+        return ll + kl_w * compute_kl_loss(p_means, q_means)
+
+    msz = B // ACC
+    g_acc = None
+    for i in range(ACC):
+        sl = slice(i * msz, (i + 1) * msz)
+        g_i = jax.grad(manual_loss)(
+            state0.vunet.params, batch["app_img"][sl],
+            batch["stickman"][sl], batch["pose_img"][sl],
+            jax.random.fold_in(k_s, i), jax.random.fold_in(k_d, i))
+        g_acc = g_i if g_acc is None else jax.tree_util.tree_map(
+            jnp.add, g_acc, g_i)
+    g_avg = jax.tree_util.tree_map(lambda g: g / ACC, g_acc)
+    updates, _ = txs["vunet"].update(
+        g_avg, state0.vunet.opt_state, state0.vunet.params)
+    want = optax.apply_updates(state0.vunet.params, updates)
+
+    def _close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        atol = 1e-6 * max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=atol)
+
+    jax.tree_util.tree_map(_close, state1.vunet.params, want)
+    assert np.isfinite(float(metrics["loss"]))
