@@ -193,10 +193,26 @@ class BehaviorNetExperiment(Experiment):
         sample_b = self._infer_b(model, state, sample_batch, ks())
         fstate = create_flow_state(ks(), flow_model, flow_tx, sample_b)
         fstate, fstart, fmgr = self.maybe_restore("flow_ckpt", fstate)
-        fstate = self.place(fstate)
+        # The production flow is the one model whose replicated train state
+        # saturates a chip (630M params -> 2.5 GB params + 5 GB adam
+        # moments); `training.fsdp` shards params AND moments over the data
+        # axis (ZeRO-3), with out_shardings pinning the updated state to the
+        # same layout so donation reuses the sharded buffers.
+        if bool(cfg.training.get("fsdp", False)) and self.mesh is not None:
+            from ..parallel import shard_module_state_fsdp, state_shardings
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            fstate = shard_module_state_fsdp(fstate, self.mesh)
+            flow_out_sh = (state_shardings(fstate),
+                           NamedSharding(self.mesh, PartitionSpec()))
+            print("flow stage: FSDP sharding of flow params + optimizer "
+                  f"moments over {self.mesh.shape['data']} devices")
+        else:
+            fstate = self.place(fstate)
+            flow_out_sh = None
         flow_step = jax.jit(
             make_flow_train_step(model, flow_model, flow_tx, seq_len),
-            donate_argnums=(0,))
+            donate_argnums=(0,), out_shardings=flow_out_sh)
         flow_spe = max(1, len(train_loader))  # steps per flow epoch
         flow_start_epoch = int(fstart) // flow_spe
         for epoch in range(flow_start_epoch,
