@@ -202,7 +202,9 @@ class BehaviorNetExperiment(Experiment):
             from ..parallel import shard_module_state_fsdp, state_shardings
             from jax.sharding import NamedSharding, PartitionSpec
 
-            fstate = shard_module_state_fsdp(fstate, self.mesh)
+            fstate = shard_module_state_fsdp(
+                fstate, self.mesh,
+                min_size=int(cfg.training.get("fsdp_min_size", 1 << 14)))
             flow_out_sh = (state_shardings(fstate),
                            NamedSharding(self.mesh, PartitionSpec()))
             print("flow stage: FSDP sharding of flow params + optimizer "

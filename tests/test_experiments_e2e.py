@@ -112,6 +112,26 @@ def test_behavior_net_cli_train_and_infer(tmp_path):
     assert CheckpointManager(fdir).latest_step() == before
 
 
+def test_behavior_net_cli_fsdp_flow_stage(tmp_path):
+    """``training.fsdp`` runs the flow stage ZeRO-3-style: flow params +
+    adam moments sharded over the data axis (experiments/behavior_net.py
+    driver wiring).  The sharded train state must still checkpoint, restart
+    must restore + re-shard it, and inference must read it back."""
+    cfg = _seq_cfg(tmp_path, "behavior_net",
+                   extra_train={"fsdp": True, "fsdp_min_size": 256})
+    main(["--config", cfg, "--debug"])
+    ckpt_root = os.path.join(str(tmp_path), "runs", "behavior_net", "ckpt",
+                             "debug")
+    assert os.path.isdir(os.path.join(ckpt_root, "flow_ckpt"))
+    main(["--config", cfg, "--debug", "--restart", "--mode", "infer"])
+    import json
+    log = os.path.join(str(tmp_path), "runs", "behavior_net", "log",
+                       "debug", "metrics.jsonl")
+    rows = [json.loads(line) for line in open(log)]
+    infer = [r for r in rows if any(k.startswith("infer/") for k in r)]
+    assert infer and "infer/ADE_flow" in infer[-1]
+
+
 def test_mtvae_cli_train_and_infer(tmp_path):
     """MTVAE trains, then the inference protocol (APD/ADE/FDE + self-recon
     MSE + cross ADE_c/FDE_c, reference lib/logging_mtvae.py:36-) runs off

@@ -166,6 +166,95 @@ class TestFlowStage:
         assert np.isfinite(np.asarray(samples)).all()
 
 
+class TestFSDP:
+    def test_fsdp_flow_step_matches_replicated(self, setup):
+        """FSDP/ZeRO-3 flow training (params + adam moments sharded over the
+        data axis) must produce the same loss as the replicated layout, keep
+        every large leaf evenly split 1/N per device, and — via
+        out_shardings — return the updated state in the same layout."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from behavior_driven_video_synthesis_tpu.parallel import (
+            shard_module_state_fsdp,
+            state_shardings,
+        )
+        _, model, ds, state, step_fn, _ = setup
+        flow_model = LatentFlow(flow_in_channels=HID,
+                                flow_mid_channels=2 * HID, n_flows=2)
+        tx = optax.adam(1e-3)
+
+        batch = next(ds.batches(BS))
+        seq_b = jnp.asarray(batch["keypoints"])[:, :-1]
+        b, *_ = model.apply({"params": state.net.params}, seq_b, sample=False,
+                            rngs={"sample": jax.random.PRNGKey(0)},
+                            method=model.infer_b)
+        fstate0 = create_flow_state(jax.random.PRNGKey(1), flow_model, tx, b)
+        step = make_flow_train_step(model, flow_model, tx, SEQ_LEN)
+
+        mesh = make_mesh(8)
+        batch_dev = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                                mesh)
+        net_rep = replicate(state.net.params, mesh)
+        key = replicate(jax.random.PRNGKey(7), mesh)
+
+        # replicated baseline (no donation: fstate0 is reused below)
+        s_rep = replicate(fstate0, mesh)
+        _, m_rep = jax.jit(step)(s_rep, net_rep, batch_dev, key)
+
+        # FSDP: shard, pin the output layout, donate
+        s_f = shard_module_state_fsdp(fstate0, mesh, min_size=1024)
+        out_sh = (state_shardings(s_f), NamedSharding(mesh, P()))
+        fstep = jax.jit(step, donate_argnums=(0,), out_shardings=out_sh)
+        s_f2, m_f = fstep(s_f, net_rep, batch_dev, key)
+
+        np.testing.assert_allclose(float(m_rep["flow_loss"]),
+                                   float(m_f["flow_loss"]), rtol=1e-4)
+
+        def _sharded_leaves(tree):
+            return [l for l in jax.tree_util.tree_leaves(tree)
+                    if "data" in str(l.sharding.spec)]
+
+        for tree, name in ((s_f2.flow.params, "params"),
+                           (s_f2.flow.opt_state, "opt_state")):
+            leaves = _sharded_leaves(tree)
+            assert leaves, f"FSDP produced no data-sharded flow {name}"
+            big = max(leaves, key=lambda l: l.size)
+            shard_sz = big.addressable_shards[0].data.size
+            assert shard_sz * 8 == big.size, (
+                f"{name} leaf not evenly sharded: "
+                f"{shard_sz}*8 != {big.size}")
+
+        # small leaves (biases under min_size) stay replicated
+        small = [l for l in jax.tree_util.tree_leaves(s_f2.flow.params)
+                 if l.size < 1024]
+        assert small and all("data" not in str(l.sharding.spec)
+                             for l in small)
+
+    def test_fsdp_spec_rule(self):
+        """Largest-divisible-dim rule: big leaves shard on their largest
+        dim divisible by the axis size; small/indivisible leaves replicate."""
+        from jax.sharding import PartitionSpec as P
+        from behavior_driven_video_synthesis_tpu.parallel import (
+            infer_fsdp_shardings,
+        )
+        mesh = make_mesh(8)
+        tree = {
+            "w_big": jnp.zeros((128, 256)),     # shard dim 1 (256 > 128)
+            "w_tall": jnp.zeros((512, 7)),      # shard dim 0 (7 % 8 != 0)
+            "bias": jnp.zeros((256,)),          # under min_size -> replicate
+            "odd": jnp.zeros((129, 131)),       # nothing divisible
+            "scalar": jnp.zeros(()),
+        }
+        sh = infer_fsdp_shardings(tree, mesh, min_size=1 << 14)
+        assert sh["w_big"].spec == P(None, "data")
+        # 512x7 = 3584 elements < 1<<14 -> replicated despite divisible dim
+        assert sh["w_tall"].spec == P()
+        sh = infer_fsdp_shardings(tree, mesh, min_size=1024)
+        assert sh["w_tall"].spec == P("data", None)
+        assert sh["bias"].spec == P()  # 256 < 1024
+        assert sh["odd"].spec == P()
+        assert sh["scalar"].spec == P()
+
+
 class TestHybridSharding:
     def test_dp_x_tp_step_matches_dp(self, setup):
         """The dp x tp hybrid layout must produce the same loss as pure dp
