@@ -210,6 +210,10 @@ class BehaviorNetExperiment(Experiment):
             print("flow stage: FSDP sharding of flow params + optimizer "
                   f"moments over {self.mesh.shape['data']} devices")
         else:
+            if bool(cfg.training.get("fsdp", False)):
+                print("flow stage: training.fsdp requested but only one "
+                      "device is visible — falling back to the replicated "
+                      "layout")
             fstate = self.place(fstate)
             flow_out_sh = None
         flow_step = jax.jit(
