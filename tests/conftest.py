@@ -64,6 +64,7 @@ _SLOW = {
     "test_flow.py::TestMADE::test_autoregressive_jacobian",
     "test_behavior_model.py::TestProbes::test_all_probe_shapes",
     "test_figures.py::test_nearest_neighbour_figure",
+    "test_reference_parity.py::test_living_reference_realistic_vunet_org",
 }
 
 

@@ -1,0 +1,405 @@
+"""Direct numerical parity against the LIVING reference implementation.
+
+The reference (/root/reference, PyTorch) runs on CPU in this image, so
+parity is asserted against the reference code itself — not against
+transcribed oracles.  The trust chain:
+
+  1. ``tests/golden/gen_reference_parity.py`` runs the actual reference
+     models (imported from /root/reference) on seeded weights/inputs and
+     records {state dict, inputs, outputs} into
+     ``tests/golden/reference_parity.npz`` (committed).
+  2. The golden-driven tests below convert each recorded *reference-format*
+     state dict through ``models/convert.py`` and assert our JAX stack
+     reproduces the recorded reference outputs.  These run ANYWHERE — no
+     torch, no /root/reference needed.
+  3. The living-reference tests (torch + /root/reference present, as in this
+     image) rebuild the reference models from the same stored state dicts
+     with ``load_state_dict(strict=True)`` — validating the full key set —
+     re-run them, and assert the committed goldens still match the living
+     code.  A realistic-config VUNet comparison runs reference-vs-ours
+     directly with no golden in between.
+
+Determinism: reference reparametrized sampling (vunets.py:151-156,596;
+pose_behavior_rnn.py:204-210) is collapsed onto the mean by patching
+``torch.randn_like`` -> zeros at generation time; the JAX side patches
+``jax.random.normal`` -> zeros identically.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from behavior_driven_video_synthesis_tpu.models import ResidualBehaviorNet
+from behavior_driven_video_synthesis_tpu.models.convert import (
+    _norm_conv,
+    _rnb,
+    convert_behavior_net,
+    convert_latent_flow,
+    convert_vunet_alter,
+    convert_vunet_org,
+    vunet_org_reference_state_dict,
+)
+from behavior_driven_video_synthesis_tpu.models.flows import LatentFlow
+from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "reference_parity.npz")
+REF_ROOT = os.environ.get("BDVS_REFERENCE_ROOT", "/root/reference")
+
+
+# --------------------------------------------------------------- fixtures
+@pytest.fixture(scope="module")
+def golden():
+    data = np.load(GOLDEN)
+    return {k: data[k] for k in data.files}
+
+
+def _case_sd(golden, case):
+    pre = f"{case}/sd/"
+    return {k[len(pre):]: v for k, v in golden.items() if k.startswith(pre)}
+
+
+@pytest.fixture
+def zero_eps(monkeypatch):
+    """Make every JAX-side reparametrized draw collapse onto its mean,
+    mirroring the torch.randn_like -> zeros patch used at generation."""
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+
+@pytest.fixture(scope="module")
+def ref(golden):
+    """Import the reference package in place (living-reference tier)."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip(f"reference checkout not present at {REF_ROOT}")
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    # reference passes tensor.get_device() back into .to(device), which
+    # breaks on CPU where get_device() returns -1 (pose_behavior_rnn.py:595)
+    torch.Tensor.get_device = lambda self: self.device
+    import models.pose_behavior_rnn as rbn_mod
+    import models.flow.simple_flow as flow_mod
+    import models.vunets as vunets_mod
+    import lib.modules as modules_mod
+    return dict(torch=torch, rbn=rbn_mod, flow=flow_mod, vunets=vunets_mod,
+                modules=modules_mod)
+
+
+class _TorchEpsZero:
+    def __init__(self, torch):
+        self.torch = torch
+
+    def __enter__(self):
+        self._orig = self.torch.randn_like
+        self.torch.randn_like = \
+            lambda t, **kw: self.torch.zeros_like(t)
+
+    def __exit__(self, *exc):
+        self.torch.randn_like = self._orig
+
+
+def _to_torch_sd(torch, sd):
+    return {k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in sd.items()}
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def _as_nchw(y):
+    return np.transpose(np.asarray(y), (0, 3, 1, 2))
+
+
+# ------------------------------------------------- golden-driven (no torch)
+def test_rbn_forward_matches_reference(golden, zero_eps):
+    """Full ResidualBehaviorNet forward: infer_b + T-step residual rollout
+    (reference pose_behavior_rnn.py:574-626)."""
+    sd = _case_sd(golden, "rbn")
+    variables = convert_behavior_net(sd)
+    T = int(golden["rbn/meta/length"])
+    model = ResidualBehaviorNet(n_kps=golden["rbn/in/x1"].shape[-1],
+                                dim_hidden_b=golden["rbn/out/mu"].shape[-1])
+    xs, cs, b, mu, logstd, pre = model.apply(
+        variables, jnp.asarray(golden["rbn/in/x1"]),
+        jnp.asarray(golden["rbn/in/x2"]), T, sample=False,
+        rngs={"sample": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(pre), golden["rbn/out/pre"],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu), golden["rbn/out/mu"],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logstd), golden["rbn/out/logstd"],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), golden["rbn/out/mu"],
+                               atol=1e-5)  # eps = 0 -> b == mu
+    np.testing.assert_allclose(np.asarray(xs), golden["rbn/out/xs"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cs), golden["rbn/out/cs"],
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("case,C,n_flows", [("flow_even", 10, 3),
+                                            ("flow_odd", 11, 2)])
+def test_flow_forward_matches_reference(golden, case, C, n_flows):
+    """UnsupervisedTransformer2 forward + logdet (simple_flow.py:136-180),
+    even and odd channel counts."""
+    sd = _case_sd(golden, case)
+    variables = convert_latent_flow(sd, n_flows=n_flows, hidden_depth=2)
+    flow = LatentFlow(flow_in_channels=C, flow_mid_channels=24,
+                      flow_hidden_depth=2, n_flows=n_flows)
+    x = jnp.asarray(golden[f"{case}/in/x"])
+    z, logdet = flow.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(z), golden[f"{case}/out/z"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logdet),
+                               golden[f"{case}/out/logdet"],
+                               atol=1e-3)
+    # our reverse is an exact inverse at any C
+    back = flow.apply(variables, z, method=flow.reverse)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-3)
+
+
+def test_flow_odd_reverse_divergence_is_real(golden):
+    """The reference's own reverse does NOT invert its forward at odd C
+    (DoubleVectorCouplingBlock2 re-chunks ceil/floor after the swap,
+    blocks.py:312-320) — the recorded reference round-trip misses by O(1),
+    confirming our odd-C fix is a divergence from a genuine reference bug,
+    not from misread semantics."""
+    x = golden["flow_odd/in/x"]
+    ref_back = golden["flow_odd/out/ref_reverse"]
+    assert np.max(np.abs(ref_back - x)) > 0.1
+
+
+def _module_case(golden, case):
+    sd = {f"m.{k}": v for k, v in _case_sd(golden, case).items()}
+    return sd, _nhwc(golden[f"{case}/in/x"])
+
+
+def test_normconv2d_matches_reference(golden):
+    from behavior_driven_video_synthesis_tpu.ops.nn import NormConv2d
+    sd, x = _module_case(golden, "normconv3")
+    params = {"params": _norm_conv(sd, "m")}
+    y = NormConv2d(features=7, kernel_size=3, padding=1).apply(params, x)
+    np.testing.assert_allclose(_as_nchw(y), golden["normconv3/out/y"],
+                               atol=1e-5)
+
+
+def test_vunet_rnb_matches_reference(golden):
+    from behavior_driven_video_synthesis_tpu.ops.nn import VunetRNB
+    sd, x = _module_case(golden, "rnb_res")
+    params = {"params": _rnb(sd, "m", residual=True)}
+    y = VunetRNB(channels=6, residual=True).apply(
+        params, x, _nhwc(golden["rnb_res/in/a"]))
+    np.testing.assert_allclose(_as_nchw(y), golden["rnb_res/out/y"],
+                               atol=1e-5)
+
+    sd, x = _module_case(golden, "rnb_plain")
+    params = {"params": _rnb(sd, "m", residual=False)}
+    y = VunetRNB(channels=6).apply(params, x)
+    np.testing.assert_allclose(_as_nchw(y), golden["rnb_plain/out/y"],
+                               atol=1e-5)
+
+
+def test_actnorm_matches_reference(golden):
+    from behavior_driven_video_synthesis_tpu.models.flows.blocks import (
+        ActNorm,
+    )
+    sd = _case_sd(golden, "actnorm")
+    params = {"params": {"loc": jnp.asarray(sd["loc"].reshape(-1)),
+                         "scale": jnp.asarray(sd["scale"].reshape(-1))}}
+    x = jnp.asarray(golden["actnorm/in/x"])
+    y, logdet = ActNorm().apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), golden["actnorm/out/y"],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logdet),
+                               golden["actnorm/out/logdet"], atol=1e-4)
+    back = ActNorm().apply(params, y, reverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_down_up_sample_match_reference(golden):
+    from behavior_driven_video_synthesis_tpu.ops.nn import (
+        Downsample,
+        Upsample,
+    )
+    sd, x = _module_case(golden, "down")
+    params = {"params": {"NormConv2d_0": _norm_conv(sd, "m.down")}}
+    y = Downsample(features=10).apply(params, x)
+    np.testing.assert_allclose(_as_nchw(y), golden["down/out/y"], atol=1e-5)
+
+    sd, x = _module_case(golden, "up_subpixel")
+    params = {"params": {"NormConv2d_0": _norm_conv(sd, "m.up")}}
+    y = Upsample(features=5, subpixel=True).apply(params, x)
+    np.testing.assert_allclose(_as_nchw(y), golden["up_subpixel/out/y"],
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("case,variant", [("vunet_org", "org"),
+                                          ("vunet_alter", "alter")])
+def test_vunet_forward_and_transfer_match_reference(golden, zero_eps, case,
+                                                    variant):
+    """VunetOrg/VunetAlter forward (posterior path incl. the org 4-group AR
+    prior) and transfer (posterior means) — vunets.py:81-106, 490-517."""
+    sd = _case_sd(golden, case)
+    convert = convert_vunet_org if variant == "org" else convert_vunet_alter
+    model = VUNet(spatial_size=32, nf_start=8, nf_max=16, variant=variant)
+    variables = convert(sd, n_scales=model.n_scales,
+                        n_scales_x=model.n_scales_x)
+    x = _nhwc(golden[f"{case}/in/x"])
+    c = _nhwc(golden[f"{case}/in/c"])
+    rngs = {"sample": jax.random.PRNGKey(0)}
+
+    imgs, means, logstds, ps, _ = model.apply(variables, x, c, rngs=rngs)
+    np.testing.assert_allclose(_as_nchw(imgs), golden[f"{case}/out/imgs"],
+                               atol=2e-4)
+    for i, m in enumerate(means):
+        np.testing.assert_allclose(_as_nchw(m), golden[f"{case}/out/q{i}"],
+                                   atol=1e-4, err_msg=f"q{i}")
+    if variant == "org":
+        for i, p in enumerate(ps):
+            np.testing.assert_allclose(_as_nchw(p),
+                                       golden[f"{case}/out/p{i}"],
+                                       atol=1e-4, err_msg=f"p{i}")
+    else:
+        for i, s in enumerate(logstds):
+            np.testing.assert_allclose(_as_nchw(s),
+                                       golden[f"{case}/out/logstd{i}"],
+                                       atol=1e-4, err_msg=f"logstd{i}")
+
+    t_imgs = model.apply(variables, x, c, rngs=rngs, method=model.transfer)
+    np.testing.assert_allclose(_as_nchw(t_imgs),
+                               golden[f"{case}/out/transfer"], atol=2e-4)
+
+
+# --------------------------------------- living-reference tier (torch-gated)
+def test_living_reference_rbn_matches_golden(golden, ref):
+    """Rebuild the reference ResidualBehaviorNet from the stored state dict
+    (strict — full key-set validation) and confirm the living code still
+    produces the committed goldens."""
+    torch = ref["torch"]
+    model = ref["rbn"].ResidualBehaviorNet(
+        n_kps=golden["rbn/in/x1"].shape[-1],
+        dim_hidden_b=golden["rbn/out/mu"].shape[-1],
+        information_bottleneck=True)
+    model.load_state_dict(_to_torch_sd(torch, _case_sd(golden, "rbn")),
+                          strict=True)
+    model.eval()
+    T = int(golden["rbn/meta/length"])
+    with torch.no_grad(), _TorchEpsZero(torch):
+        xs, cs, _zs, b, mu, logstd, pre = model(
+            torch.from_numpy(golden["rbn/in/x1"]),
+            torch.from_numpy(golden["rbn/in/x2"]), T, start_frame=0,
+            sample=False)
+    np.testing.assert_allclose(xs.numpy(), golden["rbn/out/xs"], atol=1e-6)
+    np.testing.assert_allclose(mu.numpy(), golden["rbn/out/mu"], atol=1e-6)
+    np.testing.assert_allclose(logstd.numpy(), golden["rbn/out/logstd"],
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("case,C,n_flows", [("flow_even", 10, 3),
+                                            ("flow_odd", 11, 2)])
+def test_living_reference_flow_matches_golden(golden, ref, case, C, n_flows):
+    torch = ref["torch"]
+    model = ref["flow"].UnsupervisedTransformer2(
+        flow_in_channels=C, flow_mid_channels=24, flow_hidden_depth=2,
+        n_flows=n_flows)
+    model.load_state_dict(_to_torch_sd(torch, _case_sd(golden, case)),
+                          strict=True)
+    model.eval()
+    with torch.no_grad():
+        z, logdet = model(torch.from_numpy(golden[f"{case}/in/x"]))
+    np.testing.assert_allclose(z.squeeze(-1).squeeze(-1).numpy(),
+                               golden[f"{case}/out/z"], atol=1e-6)
+    np.testing.assert_allclose(logdet.numpy(), golden[f"{case}/out/logdet"],
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("case,variant", [("vunet_org", "org"),
+                                          ("vunet_alter", "alter")])
+def test_living_reference_vunet_matches_golden(golden, ref, case, variant):
+    torch = ref["torch"]
+    cls = (ref["vunets"].VunetOrg if variant == "org"
+           else ref["vunets"].VunetAlter)
+    model = cls(n_channels_x=3, spatial_size=32, n_scales=0,
+                bottleneck_factor=2, box_factor=2, n_latent_scales=2,
+                conv_layer_type="l1", nf_start=8, nf_max=16,
+                subpixel_upsampling=True, dropout_prob=0.0)
+    model.load_state_dict(_to_torch_sd(torch, _case_sd(golden, case)),
+                          strict=True)
+    model.eval()
+    x = torch.from_numpy(golden[f"{case}/in/x"])
+    c = torch.from_numpy(golden[f"{case}/in/c"])
+    with torch.no_grad(), _TorchEpsZero(torch):
+        imgs = model(x, c)[0]
+        t_imgs = model.transfer(x, c)
+    np.testing.assert_allclose(imgs.numpy(), golden[f"{case}/out/imgs"],
+                               atol=1e-6)
+    np.testing.assert_allclose(t_imgs.numpy(),
+                               golden[f"{case}/out/transfer"], atol=1e-6)
+
+
+def test_living_reference_realistic_vunet_org(ref, zero_eps):
+    """Reference-vs-ours directly (no golden in between) at a realistic
+    config: the production inplane setup — 30-channel part-stack appearance
+    branch (box_factor=2), nf 64/128 (the reference's production filter
+    counts, vunets.py:50-51), spatial 128, org AR prior.  OUR params are
+    exported to reference format, strict-loaded into the LIVING reference,
+    and both stacks must agree on forward + transfer.
+
+    Note the reference EncDown hard-codes ``a_channels=nf_max`` for every
+    skip-fusing conv (vunets.py:167-190), so it is only constructible when
+    the appearance encoder's top ``2*n_latent_scales+1`` skips all sit at
+    nf_max — true for the production configs (256px nf 64/128 box 2), and
+    for this scaled-down equivalent, but not for arbitrary small configs."""
+    torch = ref["torch"]
+    model = VUNet(spatial_size=128, n_channels_x=30, nf_start=64, nf_max=128,
+                  variant="org")
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 32, 32, 30).astype(np.float32)
+    c = rng.randn(1, 128, 128, 3).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(3),
+                            "sample": jax.random.PRNGKey(4)},
+                           jnp.asarray(x), jnp.asarray(c))
+    sd = vunet_org_reference_state_dict(variables, n_scales=model.n_scales,
+                                        n_scales_x=model.n_scales_x)
+
+    refm = ref["vunets"].VunetOrg(
+        n_channels_x=30, spatial_size=128, n_scales=0, bottleneck_factor=2,
+        box_factor=2, n_latent_scales=2, conv_layer_type="l1", nf_start=64,
+        nf_max=128, subpixel_upsampling=True, dropout_prob=0.0)
+    refm.load_state_dict(_to_torch_sd(torch, sd), strict=True)
+    refm.eval()
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ct = torch.from_numpy(np.transpose(c, (0, 3, 1, 2)))
+    with torch.no_grad(), _TorchEpsZero(torch):
+        imgs_t, qs_t, ps_t, _ = refm(xt, ct)
+        transfer_t = refm.transfer(xt, ct)
+
+    def close(a, b, name):
+        # random-init activations reach O(1e4) at this depth/width — use a
+        # scale-aware bound: rel-L2 and max-abs relative to the output range
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.max(np.abs(b)) + 1e-12
+        rel_l2 = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel_l2 < 1e-4, f"{name}: rel-L2 {rel_l2}"
+        assert np.max(np.abs(a - b)) / scale < 1e-3, \
+            f"{name}: max |diff|/scale {np.max(np.abs(a - b)) / scale}"
+
+    rngs = {"sample": jax.random.PRNGKey(0)}
+    imgs, means, _logstds, ps, _ = model.apply(
+        variables, jnp.asarray(x), jnp.asarray(c), rngs=rngs)
+    close(_as_nchw(imgs), imgs_t.numpy(), "imgs")
+    for i, (m, q_t) in enumerate(zip(means, qs_t)):
+        close(_as_nchw(m), q_t.numpy(), f"q{i}")
+    for i, (p, p_t) in enumerate(zip(ps, ps_t)):
+        close(_as_nchw(p), p_t.numpy(), f"p{i}")
+    t_imgs = model.apply(variables, jnp.asarray(x), jnp.asarray(c),
+                         rngs=rngs, method=model.transfer)
+    close(_as_nchw(t_imgs), transfer_t.numpy(), "transfer")
