@@ -195,7 +195,13 @@ class ShapePoseExperiment(Experiment):
                 if it % ckpt_steps == 0 or it == end_iteration:
                     mgr.save(it, jax.device_get(state), force=True)
                 if it % metric_steps == 0:
-                    ssim_val = self._eval_ssim(vunet, state, it, ks)
+                    # in-training eval uses a small sample cap (it runs
+                    # every metric_steps); the full 8000-sample reference
+                    # protocol runs at inference (_eval_ssim default)
+                    ssim_val = self._eval_ssim(
+                        vunet, state, it, ks,
+                        max_samples=int(cfg.get("metrics", {}).get(
+                            "ssim_train_samples", 256)))
                     # metric-stamped checkpoint record (the reference writes
                     # model@e{E}@ssim=... copies; orbax steps are ints, so we
                     # keep a sidecar map step -> metrics)
@@ -261,16 +267,23 @@ class ShapePoseExperiment(Experiment):
             return None
         return np.asarray(kps[np.asarray(batch["sample_ids"])], np.float32)
 
-    def _eval_ssim(self, vunet, state, step, ks, max_batches: int = 4):
+    def _eval_ssim(self, vunet, state, step, ks, max_samples=None):
         """SSIM on reconstructions; optionally Inception Score on recon +
         transfer sets (reference shape_and_pose_net.py:666-773) and FID vs
         disk-cached GT inception features (reference vunet.py:534-638 +
         lib/metrics.py:119-281, metrics.compute_fid).  IS/FID need
         converted inception weights (metrics.inception_weights_path) to be
-        literature-comparable."""
+        literature-comparable.
+
+        ``max_samples`` bounds the evaluation breadth; ``None`` reads
+        ``metrics.max_n_samples`` (the reference's own key — default 8000:
+        its ssim protocol evaluates min(8000, n_test) samples,
+        lib/metrics.py:55-57 + config/shape_and_pose_net.yaml:67-70)."""
         loader, ds = self._build_data("test")
         vals = []
         mcfg = self.config.get("metrics", {})
+        if max_samples is None:
+            max_samples = int(mcfg.get("max_n_samples", 8000))
         compute_is = bool(mcfg.get("compute_is", False))
         compute_fid = bool(mcfg.get("compute_fid", False))
         recon_logits, transfer_logits = [], []
@@ -340,13 +353,18 @@ class ShapePoseExperiment(Experiment):
             return bounding_box_batch(jnp.asarray(kps) * spatial, img,
                                       spatial)
 
+        n_seen = 0
         for i, batch in enumerate(loader):
             out = recon(state.vunet.params, jnp.asarray(batch["app_img"]),
                         jnp.asarray(batch["stickman"]), ks())
             target = jnp.asarray(batch["pose_img"])
-            v = ssim_fn((out.astype(jnp.float32) + 1) / 2,
+            # decoder output is unbounded; clip to the metric's [0,1]
+            # data_range as the reference does implicitly by evaluating
+            # saved uint8 images (lib/metrics.py:95-107)
+            v = ssim_fn(jnp.clip((out.astype(jnp.float32) + 1) / 2, 0, 1),
                         (target + 1) / 2)
             vals.append(np.asarray(v))
+            n_seen += int(target.shape[0])
             if compute_is or compute_fid:
                 out_c = crop(out.astype(jnp.float32), batch)
                 feats, logits = inception_fwd(out_c)
@@ -363,10 +381,10 @@ class ShapePoseExperiment(Experiment):
                     _, tlogits = inception_fwd(
                         crop(tr.astype(jnp.float32), batch))
                     transfer_logits.append(np.asarray(tlogits))
-            if i + 1 >= max_batches:
+            if n_seen >= max_samples:
                 break
         val = float(np.mean(np.concatenate(vals)))
-        metrics = {"ssim": val}
+        metrics = {"ssim": val, "ssim_n": n_seen}
         if compute_is and recon_logits:
             from ..metrics import inception_score_from_logits
 
@@ -401,7 +419,7 @@ class ShapePoseExperiment(Experiment):
         if restored is None:
             raise FileNotFoundError("no cvbae checkpoint to evaluate")
         state, _ = restored
-        val = self._eval_ssim(vunet, state, 0, ks, max_batches=16)
+        val = self._eval_ssim(vunet, state, 0, ks)
         print(f"inference SSIM: {val:.4f}")
         summary = {"ssim": val}
         if bool(cfg.get("metrics", {}).get("posthoc_regressor", True)):

@@ -28,12 +28,19 @@ def _filter2d_sep(img, kernel):
     kw = jnp.asarray(kernel).reshape(1, -1, 1, 1)
     dn = jax.lax.conv_dimension_numbers(img.shape, (kh.shape[0], 1, 1, 1),
                                         ("NHWC", "HWIO", "NHWC"))
+    # HIGHEST precision is required on TPU: the default conv precision
+    # routes f32 through bf16 MXU passes, and the E[x^2]-mu^2 variance
+    # below then suffers bf16-scale cancellation (~4e-3 relative) that
+    # dwarfs c2=(0.03*range)^2=9e-4 — observed as SSIM "2.24" on chip.
+    # These are 11-tap depthwise filters; the precision cost is nil.
     out = jax.lax.conv_general_dilated(
         img, jnp.tile(kh, (1, 1, 1, C)), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=C)
+        dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
     out = jax.lax.conv_general_dilated(
         out, jnp.tile(kw, (1, 1, 1, C)), (1, 1), "VALID",
-        dimension_numbers=dn, feature_group_count=C)
+        dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
     return out
 
 
@@ -51,8 +58,11 @@ def ssim(img1, img2, data_range: float = 1.0, sigma: float = 1.5,
     mu1 = _filter2d_sep(img1, kernel)
     mu2 = _filter2d_sep(img2, kernel)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d_sep(img1 * img1, kernel) - mu1_sq
-    sigma2_sq = _filter2d_sep(img2 * img2, kernel) - mu2_sq
+    # true variances are >= 0; clamp away residual cancellation error so
+    # the denominator below can never go negative (sigma12 may be
+    # legitimately negative and stays unclamped)
+    sigma1_sq = jnp.maximum(_filter2d_sep(img1 * img1, kernel) - mu1_sq, 0.)
+    sigma2_sq = jnp.maximum(_filter2d_sep(img2 * img2, kernel) - mu2_sq, 0.)
     sigma12 = _filter2d_sep(img1 * img2, kernel) - mu12
 
     c1 = (k1 * data_range) ** 2

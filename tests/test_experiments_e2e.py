@@ -123,6 +123,17 @@ def test_behavior_net_cli_fsdp_flow_stage(tmp_path):
     ckpt_root = os.path.join(str(tmp_path), "runs", "behavior_net", "ckpt",
                              "debug")
     assert os.path.isdir(os.path.join(ckpt_root, "flow_ckpt"))
+    # restart under TRAINING: maybe_restore -> shard_module_state_fsdp on
+    # the restored checkpoint must run, and the resumed step accounting
+    # must keep the flow stage past its budget (no extra training)
+    from behavior_driven_video_synthesis_tpu.core.checkpoint import (
+        CheckpointManager,
+    )
+
+    fdir = os.path.join(ckpt_root, "flow_ckpt")
+    before = CheckpointManager(fdir).latest_step()
+    main(["--config", cfg, "--debug", "--restart"])
+    assert CheckpointManager(fdir).latest_step() == before
     main(["--config", cfg, "--debug", "--restart", "--mode", "infer"])
     import json
     log = os.path.join(str(tmp_path), "runs", "behavior_net", "log",
@@ -218,6 +229,10 @@ def test_cvbae_cli_train_and_infer(tmp_path):
     rows = [json.loads(line) for line in open(log)]
     evals = [r for r in rows if "eval/ssim" in r]
     assert evals and 0.0 <= evals[-1]["eval/ssim"] <= 1.0
+    # the eval protocol logs its breadth (reference evaluates
+    # min(8000, n_test) samples — metrics.max_n_samples); on this tiny
+    # fixture that is the whole test split
+    assert evals[-1].get("eval/ssim_n", 0) > 0
     assert "eval/is_recon" in evals[-1]
     # post-hoc latent->pose regressor probe + its loss plot
     infer = [r for r in rows if "infer/loss_regressor_posthoc" in r]
