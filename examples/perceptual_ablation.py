@@ -240,6 +240,10 @@ def main():
                     help="live controller by default (production config); "
                          "0 isolates the likelihood term")
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--out", type=str, default=None,
+                    help="output JSON path (default: repo-root "
+                         "PERCEPTUAL_ABLATION.json; point elsewhere for "
+                         "smoke runs)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -266,8 +270,8 @@ def main():
     print(f"probe on real test imgs: {real_mse:.6f}; on wrong-pose "
           f"(appearance) imgs: {wrong_mse:.6f}", flush=True)
 
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "PERCEPTUAL_ABLATION.json")
+    path = args.out or os.path.join(os.path.dirname(__file__), "..",
+                                    "PERCEPTUAL_ABLATION.json")
     rows = []
     out = {"steps": args.steps, "size": args.size, "batch": args.batch,
            "gamma_step": args.gamma_step,

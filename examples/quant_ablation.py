@@ -144,6 +144,10 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="force a JAX platform (e.g. cpu) — the env var is "
                          "clobbered by this sandbox's sitecustomize")
+    ap.add_argument("--out", type=str, default=None,
+                    help="output JSON path (default: repo-root "
+                         "QUANT_ABLATION.json; point elsewhere for smoke "
+                         "runs so the published artifact isn't clobbered)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -223,8 +227,8 @@ def main():
            "inputs": ("dataset_test_images" if args.train_steps
                       else "smooth_noise"),
            "paths": results}
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "QUANT_ABLATION.json")
+    path = args.out or os.path.join(os.path.dirname(__file__), "..",
+                                    "QUANT_ABLATION.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", os.path.abspath(path))
