@@ -114,14 +114,17 @@ def train_probe(key, size, probe_imgs, probe_kps, steps=2000, batch=32,
     opt = tx.init(params)
     n = probe_imgs.shape[0]
 
+    # data is an ARGUMENT, not a closure: closed-over device arrays become
+    # HLO constants and can blow the TPU relay's remote-compile request
+    # limit (HTTP 413 observed at 256px)
     @jax.jit
-    def loop(params, opt, key, start):
+    def loop(params, opt, imgs, kps, key, start):
         def body(i, carry):
             params, opt, _ = carry
             kb = jax.random.fold_in(key, start + i)
             idx = jax.random.randint(kb, (batch,), 0, n)
-            x = _degrade(jax.random.fold_in(kb, 2), probe_imgs[idx])
-            y = probe_kps[idx]
+            x = _degrade(jax.random.fold_in(kb, 2), imgs[idx])
+            y = kps[idx]
 
             def loss_fn(p):
                 return jnp.mean((probe.apply(p, x) - y) ** 2)
@@ -137,7 +140,8 @@ def train_probe(key, size, probe_imgs, probe_kps, steps=2000, batch=32,
     last = None
     for start in range(0, steps, chunk):
         params, opt, last = jax.block_until_ready(
-            loop(params, opt, key, jnp.asarray(start)))
+            loop(params, opt, probe_imgs, probe_kps, key,
+                 jnp.asarray(start)))
     print(f"probe trained: final batch mse {float(last):.6f}", flush=True)
 
     def predict_mse(imgs, kps):
@@ -187,13 +191,14 @@ def run_mode(mode: str, steps: int, size: int, batch: int,
     n_data = train_data["pose_img"].shape[0]
     chunk = min(steps, 250)
 
+    # data passed as an argument (not closure) — see train_probe note
     @jax.jit
-    def train_loop(state, key, start):
+    def train_loop(state, data, key, start):
         def body(i, carry):
             state, _ = carry
             kb = jax.random.fold_in(key, start + i)
             idx = jax.random.randint(kb, (batch,), 0, n_data)
-            b = {k: train_data[k][idx]
+            b = {k: data[k][idx]
                  for k in ("pose_img", "stickman", "app_img")}
             state, metrics = step_fn(state, b, jax.random.fold_in(kb, 1))
             return state, metrics["loss"]
@@ -204,9 +209,11 @@ def run_mode(mode: str, steps: int, size: int, batch: int,
     t0 = time.time()
     kl = jax.random.fold_in(key, 123)
     last_loss = None
+    data_args = {k: train_data[k]
+                 for k in ("pose_img", "stickman", "app_img")}
     for start in range(0, steps, chunk):
         state, last_loss = jax.block_until_ready(
-            train_loop(state, kl, jnp.asarray(start)))
+            train_loop(state, data_args, kl, jnp.asarray(start)))
     loss = float(last_loss)
     train_s = time.time() - t0
 

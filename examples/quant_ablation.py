@@ -100,13 +100,17 @@ def _train_on_synthetic(vunet, variables, size, steps, batch, n_eval):
     n_data = train_data["pose_img"].shape[0]
     chunk = min(steps, 250)
 
+    # NOTE: the dataset is an ARGUMENT, not a closure — closed-over device
+    # arrays are embedded as HLO constants, and at 256px the ~100 MB
+    # serialized program blows the TPU relay's remote-compile request
+    # limit (HTTP 413)
     @jax.jit
-    def train_loop(state, key, start):
+    def train_loop(state, data, key, start):
         def body(i, carry):
             st, _ = carry
             kb = jax.random.fold_in(key, start + i)
             idx = jax.random.randint(kb, (batch,), 0, n_data)
-            b = {k: train_data[k][idx] for k in train_data}
+            b = {k: data[k][idx] for k in data}
             st, metrics = step_fn(st, b, jax.random.fold_in(kb, 1))
             return st, metrics["loss"]
 
@@ -118,7 +122,7 @@ def _train_on_synthetic(vunet, variables, size, steps, batch, n_eval):
     last = None
     for start in range(0, steps, chunk):
         state, last = jax.block_until_ready(
-            train_loop(state, kl, jnp.asarray(start)))
+            train_loop(state, train_data, kl, jnp.asarray(start)))
     print(f"trained {steps} steps at {size}px in {time.time() - t0:.0f}s, "
           f"final loss {float(last):.3f}", flush=True)
 
