@@ -397,3 +397,100 @@ def vunet_org_reference_state_dict(variables: Dict, n_scales: int,
                      dd[f"Upsample_{i}"]["NormConv2d_0"])
     put_conv("dd.out_conv", dd[f"NormConv2d_{conv_idx}"])
     return out
+
+
+def _dense(sd: Dict, prefix: str) -> Dict:
+    return {"kernel": _t(sd[f"{prefix}.weight"]),
+            "bias": _a(sd[f"{prefix}.bias"])}
+
+
+def _lstm_l0(sd: Dict, prefix: str) -> Dict:
+    """torch nn.LSTM layer-0 weights -> our ops.recurrent.LSTM params
+    (gate order (i, f, g, o) matches by construction)."""
+    return {
+        "w_ih": _t(sd[f"{prefix}.weight_ih_l0"]),
+        "w_hh": _t(sd[f"{prefix}.weight_hh_l0"]),
+        "b_ih": _a(sd[f"{prefix}.bias_ih_l0"]),
+        "b_hh": _a(sd[f"{prefix}.bias_hh_l0"]),
+    }
+
+
+def _fc_resnet(sd: Dict, prefix: str) -> Dict:
+    """Reference FCResnet (pose_behavior_rnn.py:212-239) -> our
+    probes.FCResnet (compact Dense order: shortcut, fc1, fc2, fc3)."""
+    return {
+        "Dense_0": _dense(sd, f"{prefix}.shortcut"),
+        "Dense_1": _dense(sd, f"{prefix}.fc1"),
+        "Dense_2": _dense(sd, f"{prefix}.fc2"),
+        "Dense_3": _dense(sd, f"{prefix}.fc3"),
+    }
+
+
+def convert_mtvae(state_dict: Dict) -> Dict:
+    """Reference MTVAE (pose_behavior_rnn.py:241-358) -> our models.mtvae.
+
+    The reference declares two heads its forward never calls (``make_mu``,
+    ``cov``, :274-276); they carry no information and are dropped here (our
+    module never creates them)."""
+    sd = state_dict
+    return {"params": {
+        "lstm_enc": _lstm_l0(sd, "lstm_enc"),
+        "lstm_dec": _lstm_l0(sd, "lstm_dec"),
+        "latent_enc": _fc_resnet(sd, "latent_enc"),
+        "latent_dec": _fc_resnet(sd, "latent_dec"),
+        "make_keypoints": _dense(sd, "make_keypoints"),
+        "inv_z": _dense(sd, "inv_z"),
+        "make_h_dec": _dense(sd, "make_h_dec"),
+        "make_c_dec": _dense(sd, "make_c_dec"),
+    }}
+
+
+def _conv1d(sd: Dict, key: str) -> Dict:
+    """torch Conv1d weight (Cout, Cin, K) -> flax Conv kernel (K, Cin, Cout)."""
+    return {"kernel": jnp.asarray(
+        np.transpose(np.asarray(sd[key]), (2, 1, 0)))}
+
+
+def _group_norm(sd: Dict, prefix: str) -> Dict:
+    return {"scale": _a(sd[f"{prefix}.weight"]),
+            "bias": _a(sd[f"{prefix}.bias"])}
+
+
+def convert_sequence_disc_michael(state_dict: Dict,
+                                  layers=(2, 1, 1, 1)) -> Dict:
+    """Reference Sequence_disc_michael (pose_discriminator.py:284-360) ->
+    our discriminators.SequenceDiscMichael.
+
+    Layout notes: torch runs Conv1d over (B, C, T); ours is channels-last
+    (B, T, C), so conv weights transpose (Cout, Cin, K) -> (K, Cin, Cout)
+    and the final ``fc`` — applied to a C-major flatten of (B, 32, 13) in
+    the reference (:356) vs our T-major flatten of (B, 13, 32) — permutes
+    its input axis from c*T + t to t*C + c."""
+    sd = state_dict
+    params: Dict = {
+        "Conv_0": _conv1d(sd, "conv1.weight"),
+        "GroupNorm_0": _group_norm(sd, "bn1"),
+    }
+    block_idx = 0
+    for li, planes in enumerate((64, 32)):
+        for bi in range(layers[li]):
+            ref = f"layer{li + 1}.{bi}"
+            blk = {
+                "Conv_0": _conv1d(sd, f"{ref}.conv1.weight"),
+                "GroupNorm_0": _group_norm(sd, f"{ref}.bn1"),
+                "Conv_1": _conv1d(sd, f"{ref}.conv2.weight"),
+                "GroupNorm_1": _group_norm(sd, f"{ref}.bn2"),
+            }
+            if f"{ref}.downsample.0.weight" in sd:
+                blk["Conv_2"] = _conv1d(sd, f"{ref}.downsample.0.weight")
+                blk["GroupNorm_2"] = _group_norm(sd, f"{ref}.downsample.1")
+            params[f"_BasicBlock1D_{block_idx}"] = blk
+            block_idx += 1
+    w = np.asarray(sd["fc.weight"])            # (out, C*T), C-major flatten
+    out_dim, flat = w.shape
+    C = 32
+    T = flat // C
+    kernel = w.reshape(out_dim, C, T).transpose(2, 1, 0).reshape(T * C,
+                                                                 out_dim)
+    params["Dense_0"] = {"kernel": jnp.asarray(kernel)}
+    return {"params": params}

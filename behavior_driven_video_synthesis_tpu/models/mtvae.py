@@ -83,10 +83,11 @@ class MTVAE(nn.Module):
         out_latent_dec = self.latent_dec(
             jnp.concatenate([inv_z, e_ref], axis=-1))
         dec_in = out_latent_dec + e_ref
-        # non-affine layer norm (no params, so inline math is setup()-safe)
+        # non-affine layer norm (no params, so inline math is setup()-safe);
+        # eps matches torch nn.LayerNorm's 1e-5 (ref :326)
         mean = jnp.mean(dec_in, axis=-1, keepdims=True)
         var = jnp.var(dec_in, axis=-1, keepdims=True)
-        dec_in = (dec_in - mean) * jax.lax.rsqrt(var + 1e-6)
+        dec_in = (dec_in - mean) * jax.lax.rsqrt(var + 1e-5)
 
         # cycle consistency re-encoding
         mu_c, logstd_c = self._latent_params(dec_in - e_a)

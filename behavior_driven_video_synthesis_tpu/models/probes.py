@@ -133,5 +133,5 @@ class FCResnet(nn.Module):
         h = nn.relu(nn.Dense(self.out_dim, dtype=self.dtype,
                              param_dtype=jnp.float32)(h))
         out = h + sc
-        return nn.LayerNorm(use_bias=False, use_scale=False,
+        return nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                             dtype=self.dtype)(out)

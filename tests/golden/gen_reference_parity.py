@@ -52,6 +52,19 @@ def eps_zero():
         torch.randn_like = orig
 
 
+@contextmanager
+def randn_zero():
+    """Zero out torch.randn too — the MTVAE draws its LSTM initial states
+    with torch.randn, not randn_like (pose_behavior_rnn.py:286-287)."""
+    orig = torch.randn
+    torch.randn = lambda *size, **kw: torch.zeros(
+        *(size[0] if len(size) == 1 and isinstance(size[0], tuple) else size))
+    try:
+        yield
+    finally:
+        torch.randn = orig
+
+
 def _store_sd(store, case, module):
     for k, v in module.state_dict().items():
         store[f"{case}/sd/{k}"] = v.detach().numpy()
@@ -209,6 +222,60 @@ def gen_vunet(store, case, cls, seed):
     store[f"{case}/out/transfer"] = t_imgs.numpy()
 
 
+def gen_mtvae(store):
+    """Reference MTVAE forward, recon + transfer paths
+    (pose_behavior_rnn.py:279-341).  The state dict is SYNTHESIZED from a
+    seed (tests/ref_sd_synth.py) — the reference hard-codes 1024/512 hidden
+    sizes, so recording it would add ~80 MB to the committed golden; only
+    inputs/outputs are stored.  torch.randn (LSTM init states) and
+    torch.randn_like (reparam eps) are both zeroed."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from ref_sd_synth import mtvae_state_dict
+    from models.pose_behavior_rnn import MTVAE as RefMTVAE
+
+    K, B, T, n_cond = 8, 2, 16, 6
+    ref = RefMTVAE({"n_cond": n_cond}, K, "cpu")
+    sd = mtvae_state_dict(K, seed=50)
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                        strict=True)
+    ref.eval()
+    g = torch.Generator().manual_seed(51)
+    src = torch.randn(B, T, K, generator=g)
+    tgt = torch.randn(B, T, K, generator=g)
+    with torch.no_grad(), eps_zero(), randn_zero():
+        out_kp, mu, logstd, out_cycle = ref(src, tgt)
+        out_tr, mu_tr, _, cycle_tr = ref(src, tgt, transfer=True)
+    store["mtvae/in/src"] = src.numpy()
+    store["mtvae/in/tgt"] = tgt.numpy()
+    store["mtvae/meta/n_cond"] = np.array(n_cond)
+    store["mtvae/meta/sd_seed"] = np.array(50)
+    for name, t in (("out_kp", out_kp), ("mu", mu), ("logstd", logstd),
+                    ("out_cycle", out_cycle), ("out_tr", out_tr),
+                    ("mu_tr", mu_tr), ("cycle_tr", cycle_tr)):
+        store[f"mtvae/out/{name}"] = t.numpy()
+
+
+def gen_disc_michael(store):
+    """Sequence_disc_michael — the velocity-based action classifier behind
+    the CF transfer scores (pose_discriminator.py:284-360;
+    experiments/behavior_net.py:296).  T=50 matches the reference's
+    hard-coded fc input size 13*32 (:299)."""
+    from models.pose_discriminator import Sequence_disc_michael
+
+    torch.manual_seed(60)
+    n_kps, B, T, n_actions = 8, 3, 50, 15
+    ref = Sequence_disc_michael([2, 1, 1, 1], n_kps, out_dim=n_actions)
+    ref.eval()
+    g = torch.Generator().manual_seed(61)
+    x = torch.randn(B, n_kps, T, generator=g)
+    with torch.no_grad():
+        logits, fmap = ref(x)
+    _store_sd(store, "disc_michael", ref)
+    store["disc_michael/in/x"] = x.numpy()
+    store["disc_michael/out/logits"] = logits.numpy()
+    store["disc_michael/out/fmap"] = fmap.numpy()
+
+
 def main():
     store = {}
     gen_behavior(store)
@@ -217,6 +284,8 @@ def main():
     gen_modules(store)
     gen_vunet(store, "vunet_org", ref_vunets.VunetOrg, seed=40)
     gen_vunet(store, "vunet_alter", ref_vunets.VunetAlter, seed=41)
+    gen_mtvae(store)
+    gen_disc_michael(store)
     np.savez_compressed(OUT, **store)
     size = os.path.getsize(OUT)
     print(f"wrote {OUT}: {len(store)} arrays, {size / 1e6:.2f} MB")

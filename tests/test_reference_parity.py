@@ -403,3 +403,263 @@ def test_living_reference_realistic_vunet_org(ref, zero_eps):
     t_imgs = model.apply(variables, jnp.asarray(x), jnp.asarray(c),
                          rngs=rngs, method=model.transfer)
     close(_as_nchw(t_imgs), transfer_t.numpy(), "transfer")
+
+
+# ----------------------------------------------- MTVAE + action classifier
+class _TorchRandnZero:
+    """Zero torch.randn too — MTVAE draws its LSTM initial states with
+    torch.randn, not randn_like (pose_behavior_rnn.py:286-287)."""
+
+    def __init__(self, torch):
+        self.torch = torch
+
+    def __enter__(self):
+        self._orig = self.torch.randn
+        self.torch.randn = lambda *size, **kw: self.torch.zeros(
+            *(size[0] if len(size) == 1 and isinstance(size[0], tuple)
+              else size))
+
+    def __exit__(self, *exc):
+        self.torch.randn = self._orig
+
+
+def _mtvae_case(golden):
+    from ref_sd_synth import mtvae_state_dict
+
+    K = golden["mtvae/in/src"].shape[-1]
+    sd = mtvae_state_dict(K, seed=int(golden["mtvae/meta/sd_seed"]))
+    return K, int(golden["mtvae/meta/n_cond"]), sd
+
+
+def test_mtvae_matches_reference(golden, zero_eps):
+    """MTVAE forward, recon + transfer paths (pose_behavior_rnn.py:279-341),
+    LSTM init states and every reparam draw collapsed to zero/mean on both
+    sides.  The state dict is synthesized from the recorded seed
+    (tests/ref_sd_synth.py) — the reference hard-codes 1024/512 hidden
+    sizes, so only inputs/outputs live in the golden."""
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_mtvae,
+    )
+    from behavior_driven_video_synthesis_tpu.models.mtvae import MTVAE
+
+    K, n_cond, sd = _mtvae_case(golden)
+    variables = convert_mtvae(sd)
+    model = MTVAE(n_in=K, n_cond=n_cond)
+    src = jnp.asarray(golden["mtvae/in/src"])
+    tgt = jnp.asarray(golden["mtvae/in/tgt"])
+    rngs = {"sample": jax.random.PRNGKey(0)}
+
+    out_kp, mu, logstd, out_cycle = model.apply(variables, src, tgt,
+                                                rngs=rngs)
+    np.testing.assert_allclose(np.asarray(mu), golden["mtvae/out/mu"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logstd),
+                               golden["mtvae/out/logstd"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_cycle),
+                               golden["mtvae/out/out_cycle"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_kp),
+                               golden["mtvae/out/out_kp"], atol=1e-4)
+
+    out_tr, mu_tr, _, cycle_tr = model.apply(variables, src, tgt, True,
+                                             rngs=rngs)
+    np.testing.assert_allclose(np.asarray(mu_tr), golden["mtvae/out/mu_tr"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cycle_tr),
+                               golden["mtvae/out/cycle_tr"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_tr),
+                               golden["mtvae/out/out_tr"], atol=1e-4)
+
+
+def test_disc_michael_matches_reference(golden):
+    """Sequence_disc_michael — the velocity-based action classifier behind
+    the CF transfer scores (pose_discriminator.py:284-360).  Checks logits
+    AND the conv feature map (used by fmap_loss), including the C-major vs
+    T-major flatten permutation into the final fc."""
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_sequence_disc_michael,
+    )
+    from behavior_driven_video_synthesis_tpu.models.discriminators import (
+        SequenceDiscMichael,
+    )
+
+    sd = _case_sd(golden, "disc_michael")
+    variables = convert_sequence_disc_michael(sd)
+    n_actions = golden["disc_michael/out/logits"].shape[-1]
+    x = jnp.asarray(np.transpose(golden["disc_michael/in/x"], (0, 2, 1)))
+    logits, fmap = SequenceDiscMichael(out_dim=n_actions).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(logits),
+                               golden["disc_michael/out/logits"], atol=1e-4)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(fmap), (0, 2, 1)),
+        golden["disc_michael/out/fmap"], atol=1e-4)
+
+
+def test_living_reference_mtvae_matches_golden(golden, ref):
+    """Rebuild the reference MTVAE from the synthesized state dict (strict
+    — validates the full key set incl. the dead make_mu/cov heads) and
+    confirm the living code still produces the committed goldens."""
+    torch = ref["torch"]
+    K, n_cond, sd = _mtvae_case(golden)
+    model = ref["rbn"].MTVAE({"n_cond": n_cond}, K, "cpu")
+    model.load_state_dict(_to_torch_sd(torch, sd), strict=True)
+    model.eval()
+    src = torch.from_numpy(golden["mtvae/in/src"])
+    tgt = torch.from_numpy(golden["mtvae/in/tgt"])
+    with torch.no_grad(), _TorchEpsZero(torch), _TorchRandnZero(torch):
+        out_kp, mu, logstd, out_cycle = model(src, tgt)
+        out_tr, mu_tr, _, cycle_tr = model(src, tgt, transfer=True)
+    np.testing.assert_allclose(out_kp.numpy(), golden["mtvae/out/out_kp"],
+                               atol=1e-6)
+    np.testing.assert_allclose(mu.numpy(), golden["mtvae/out/mu"],
+                               atol=1e-6)
+    np.testing.assert_allclose(out_tr.numpy(), golden["mtvae/out/out_tr"],
+                               atol=1e-6)
+
+
+def test_living_reference_disc_michael_matches_golden(golden, ref):
+    torch = ref["torch"]
+    sys.path.insert(0, REF_ROOT)
+    from models.pose_discriminator import Sequence_disc_michael
+
+    n_actions = golden["disc_michael/out/logits"].shape[-1]
+    n_kps = golden["disc_michael/in/x"].shape[1]
+    model = Sequence_disc_michael([2, 1, 1, 1], n_kps, out_dim=n_actions)
+    model.load_state_dict(
+        _to_torch_sd(torch, _case_sd(golden, "disc_michael")), strict=True)
+    model.eval()
+    with torch.no_grad():
+        logits, fmap = model(torch.from_numpy(golden["disc_michael/in/x"]))
+    np.testing.assert_allclose(logits.numpy(),
+                               golden["disc_michael/out/logits"], atol=1e-6)
+    np.testing.assert_allclose(fmap.numpy(),
+                               golden["disc_michael/out/fmap"], atol=1e-6)
+
+
+# ------------------------------------------------------- loss-layer parity
+def test_living_reference_losses_match(ref, monkeypatch):
+    """Loss functions vs the living reference lib/losses.py on shared
+    inputs: kl_loss (:283-291), latent_kl / compute_kl_loss (:26-65),
+    compute_kl_with_prior (:68-78), FlowLoss (:294-316), weight_decay
+    (:17-23), and the vgg_loss weighting/pixel-weight algebra (:81-119)
+    through a deterministic fake feature extractor.
+
+    lib/losses.py transitively imports GPU/visual deps absent in this image
+    (kornia, torchvision, ignite); they are stubbed with just enough
+    surface for the import — none of the tested functions touch them."""
+    import types
+
+    torch = ref["torch"]
+
+    def fake(name, **attrs):
+        if name in sys.modules:
+            return
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    fake("kornia")
+    fake("torchvision")
+    fake("torchvision.utils", make_grid=lambda *a, **k: None)
+    fake("ignite")
+    fake("ignite.metrics", Average=object)
+    fake("ignite.engine", Events=object)
+    import lib.losses as ref_losses
+
+    from behavior_driven_video_synthesis_tpu.train import losses as our_losses
+    from behavior_driven_video_synthesis_tpu.models.flows.transformer import (
+        flow_loss,
+    )
+
+    rs = np.random.RandomState(70)
+
+    # kl_loss
+    mu = rs.randn(4, 7).astype(np.float32)
+    logstd = (0.3 * rs.randn(4, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(our_losses.kl_loss(jnp.asarray(mu), jnp.asarray(logstd))),
+        float(ref_losses.kl_loss(torch.from_numpy(mu),
+                                 torch.from_numpy(logstd))),
+        rtol=1e-5)
+
+    # latent_kl + compute_kl_loss over two scales (NCHW ref vs NHWC ours)
+    ps = [rs.randn(3, 4, 8, 8).astype(np.float32),
+          rs.randn(3, 8, 4, 4).astype(np.float32)]
+    qs = [rs.randn(3, 4, 8, 8).astype(np.float32),
+          rs.randn(3, 8, 4, 4).astype(np.float32)]
+    np.testing.assert_allclose(
+        float(our_losses.latent_kl(_nhwc(ps[0]), _nhwc(qs[0]))),
+        float(ref_losses.latent_kl(torch.from_numpy(ps[0]),
+                                   torch.from_numpy(qs[0]))),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(our_losses.compute_kl_loss([_nhwc(p) for p in ps],
+                                         [_nhwc(q) for q in qs])),
+        float(ref_losses.compute_kl_loss(
+            [torch.from_numpy(p) for p in ps],
+            [torch.from_numpy(q) for q in qs])),
+        rtol=1e-5)
+
+    # compute_kl_with_prior (flatten order differs NHWC vs NCHW but the KL
+    # is an elementwise sum -> identical)
+    logstds = [(0.2 * rs.randn(*p.shape)).astype(np.float32) for p in ps]
+    np.testing.assert_allclose(
+        float(our_losses.compute_kl_with_prior(
+            [_nhwc(p) for p in ps], [_nhwc(s) for s in logstds])),
+        float(ref_losses.compute_kl_with_prior(
+            [torch.from_numpy(p) for p in ps],
+            [torch.from_numpy(s) for s in logstds])),
+        rtol=1e-5)
+
+    # FlowLoss (constant-free NLL + negative logdet)
+    z = rs.randn(5, 9).astype(np.float32)
+    logdet = rs.randn(5).astype(np.float32)
+    ref_loss, _log = ref_losses.FlowLoss()(
+        torch.from_numpy(z[:, :, None, None]), torch.from_numpy(logdet))
+    np.testing.assert_allclose(
+        float(flow_loss(jnp.asarray(z), jnp.asarray(logdet))),
+        float(ref_loss), rtol=1e-5)
+
+    # weight_decay: sum of squared L2 norms over a param set
+    weights = [rs.randn(3, 4).astype(np.float32),
+               rs.randn(5).astype(np.float32)]
+    np.testing.assert_allclose(
+        float(our_losses.weight_decay_loss(
+            [jnp.asarray(w) for w in weights])),
+        float(ref_losses.weight_decay(
+            [torch.from_numpy(w) for w in weights])),
+        rtol=1e-5)
+
+    # vgg_loss weighting algebra through a fake deterministic extractor:
+    # each level i maps x -> (i+1)*x + i so target/pred features differ
+    names = ["input", "relu1_2", "relu2_2", "relu3_2", "relu4_2", "relu5_2"]
+    lw = [1.0, 0.5, 0.25, 0.125, 1.5, 2.0]
+
+    class FakeVGG(torch.nn.Module):
+        loss_weights = lw
+
+        def forward(self, x):
+            return {n: (i + 1.0) * x + i for i, n in enumerate(names)}
+
+    tgt = rs.randn(2, 3, 8, 8).astype(np.float32)
+    pred = rs.randn(2, 3, 8, 8).astype(np.float32)
+    pixw = rs.rand(2, 3, 8, 8).astype(np.float32)
+
+    def our_feats(x):
+        return {n: (i + 1.0) * jnp.asarray(x) + i
+                for i, n in enumerate(names)}
+
+    for weights_arg in (None, pixw):
+        ref_terms = ref_losses.vgg_loss(
+            FakeVGG(), torch.from_numpy(tgt), torch.from_numpy(pred),
+            weights=None if weights_arg is None
+            else torch.from_numpy(weights_arg))
+        our_terms = our_losses.vgg_loss(
+            our_feats(tgt), our_feats(pred), lw,
+            pixel_weights=None if weights_arg is None
+            else jnp.asarray(weights_arg))  # same (NCHW) layout as feats
+        assert set(our_terms) == set(ref_terms)
+        for n in names:
+            np.testing.assert_allclose(
+                float(our_terms[n]), float(ref_terms[n]), rtol=1e-5,
+                err_msg=n)
