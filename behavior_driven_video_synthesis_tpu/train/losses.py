@@ -136,15 +136,20 @@ def weight_decay_loss(params) -> jnp.ndarray:
     return sum(jnp.sum(w * w) for w in leaves)
 
 
-def mi_loss_terms(disc_apply, disc_params, joint, marginal):
-    """Mutual-information (MINE/DV-style) discriminator terms
-    (reference MILoss, lib/losses.py:196-280): maximize
-    E_joint[T] - log E_marginal[e^T].  Returns (mi_lower_bound,
-    disc_loss)."""
-    t_joint = disc_apply(disc_params, joint)
-    t_marg = disc_apply(disc_params, marginal)
-    mi = jnp.mean(t_joint) - jnp.log(jnp.mean(jnp.exp(t_marg)) + 1e-8)
-    return mi, -mi
+def mi_loss_terms(disc_apply, disc_params, joint, marginal,
+                  seq_len: int = 1):
+    """Mutual-information discriminator terms, matching the reference's
+    JSD/BCE formulation exactly (MILoss, lib/losses.py:196-273): the disc
+    is trained with BCE toward joint->1 (scaled by 1/seq_len, :244-246)
+    and marginal->0; the generator loss is the NEGATED unscaled sum
+    (:260-272).  Returns (disc_loss, gen_loss)."""
+    t_joint = disc_apply(disc_params, joint).reshape(-1)
+    t_marg = disc_apply(disc_params, marginal).reshape(-1)
+    bce_joint = bce_logits(t_joint, jnp.ones_like(t_joint))
+    bce_marg = bce_logits(t_marg, jnp.zeros_like(t_marg))
+    disc_loss = bce_joint / seq_len + bce_marg
+    gen_loss = -(bce_joint + bce_marg)
+    return disc_loss, gen_loss
 
 
 def zoom_loss(feats_fn, target, pred, kps, out_size: int,
