@@ -70,3 +70,24 @@ def test_existing_run_tty_prompt_overwrite(tmp_path, monkeypatch):
     saved = os.path.join(dirs["config"], "config.yaml")
     with open(saved) as f:
         assert yaml.safe_load(f)["general"]["seed"] == 2
+
+
+def test_generate_preset_tpu_serving_expansion():
+    """--preset tpu-serving expands to the documented serving preset
+    (int8_static + quant_max_hw 128, SERVING_GAP.json) without overriding
+    explicitly passed quant flags."""
+    from behavior_driven_video_synthesis_tpu.generate import parse_args
+
+    base = ["--behavior_model", "b", "--synth_model", "s"]
+    a = parse_args(base + ["--preset", "tpu-serving"])
+    assert a.quant == "int8_static" and a.quant_max_hw == 128
+
+    a = parse_args(base + ["--preset", "tpu-serving", "--quant", "none"])
+    assert a.quant == "none" and a.quant_max_hw == 128
+
+    a = parse_args(base + ["--preset", "tpu-serving",
+                           "--quant_max_hw=64"])
+    assert a.quant == "int8_static" and a.quant_max_hw == 64
+
+    a = parse_args(base)
+    assert a.quant == "none" and a.quant_max_hw == 0
