@@ -66,6 +66,15 @@ def _load() -> Optional[ctypes.CDLL]:
         u8, ctypes.c_int, ctypes.c_int, f64, u8, ctypes.c_int,
         ctypes.c_int, u8, ctypes.c_int]
     lib.bdvs_native_version.restype = ctypes.c_int
+    if hasattr(lib, "decode_jpeg"):
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        lib.decode_jpeg.argtypes = [
+            u8, ctypes.c_longlong, ctypes.c_int, u8, ctypes.c_longlong,
+            i32, i32]
+        lib.decode_jpeg.restype = ctypes.c_int
+        lib.decode_jpeg_batch.argtypes = [
+            u8, i64, ctypes.c_int, ctypes.c_int, u8, ctypes.c_longlong,
+            i32, i32, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -141,6 +150,96 @@ def assemble_part_stack(img: np.ndarray, mats: np.ndarray,
         _ptr(mats, ctypes.c_double), _ptr(valid, ctypes.c_uint8),
         n_parts, part_size, _ptr(out, ctypes.c_uint8), n_threads)
     return out
+
+
+def decode_available() -> bool:
+    """True when the loaded library has the jpeg decode kernels (v2+)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "decode_jpeg")
+
+
+def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray:
+    """Decode one jpeg byte stream -> (H, W, 3) uint8 RGB.
+
+    scale_denom in {1, 2, 4, 8}: libjpeg-turbo DCT-domain downscale —
+    output dims are ceil(dim/scale_denom) and the IDCT does proportionally
+    less work.  The training loader only needs a bbox crop resized to
+    256px out of a ~1000px frame, so decoding at 1/2 or 1/4 scale skips
+    most of the decode cost (HOST_PIPELINE.json stage-1 bottleneck).
+    """
+    lib = _load()
+    assert lib is not None and hasattr(lib, "decode_jpeg")
+    assert scale_denom in (1, 2, 4, 8), scale_denom
+    buf = np.frombuffer(data, np.uint8)
+    # exact output dims from a header-only scan so the buffer is allocated
+    # tight (libjpeg only reports output dims mid-decode)
+    h, w = _jpeg_dims(data)
+    oh = -(-h // scale_denom)
+    ow = -(-w // scale_denom)
+    out = np.empty((oh, ow, 3), np.uint8)
+    rh, rw = ctypes.c_int32(), ctypes.c_int32()
+    rc = lib.decode_jpeg(
+        _ptr(buf, ctypes.c_uint8), len(data), scale_denom,
+        _ptr(out, ctypes.c_uint8), out.nbytes,
+        ctypes.byref(rh), ctypes.byref(rw))
+    if rc != 0:
+        raise ValueError(f"native jpeg decode failed (rc={rc})")
+    assert (rh.value, rw.value) == (oh, ow), (rh.value, rw.value, oh, ow)
+    return out
+
+
+def _jpeg_dims(data: bytes):
+    """(height, width) from the SOFn marker — a few dozen bytes of header
+    scan, no pixel work."""
+    i = 2
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return (int.from_bytes(data[i + 5:i + 7], "big"),
+                    int.from_bytes(data[i + 7:i + 9], "big"))
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found in jpeg stream")
+
+
+def decode_jpeg_batch(streams, scale_denom: int = 1,
+                      n_threads: int = 8):
+    """Decode a list of jpeg byte streams -> list of (H, W, 3) uint8 RGB,
+    threaded in C++ (the GIL is released for the whole batch)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "decode_jpeg_batch")
+    assert scale_denom in (1, 2, 4, 8), scale_denom
+    n = len(streams)
+    if n == 0:
+        return []
+    dims_full = [_jpeg_dims(s) for s in streams]
+    shapes = [(-(-h // scale_denom), -(-w // scale_denom))
+              for h, w in dims_full]
+    stride = max(h * w * 3 for h, w in shapes)
+    data = np.frombuffer(b"".join(streams), np.uint8)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(s) for s in streams], out=offsets[1:])
+    outs = np.empty((n, stride), np.uint8)
+    dims = np.zeros((n, 2), np.int32)
+    rcs = np.zeros(n, np.int32)
+    lib.decode_jpeg_batch(
+        _ptr(data, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64), n,
+        scale_denom, _ptr(outs, ctypes.c_uint8), stride,
+        _ptr(dims, ctypes.c_int32), _ptr(rcs, ctypes.c_int32), n_threads)
+    bad = np.nonzero(rcs)[0]
+    if len(bad):
+        raise ValueError(
+            f"native jpeg batch decode failed for {len(bad)} stream(s), "
+            f"first rc={rcs[bad[0]]} at index {bad[0]}")
+    return [outs[i, :shapes[i][0] * shapes[i][1] * 3]
+            .reshape(shapes[i][0], shapes[i][1], 3) for i in range(n)]
 
 
 def version() -> int:

@@ -109,9 +109,12 @@ def parse_args(argv=None):
     ap.add_argument("--length", type=int, default=50)
     ap.add_argument("--fps", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    # sentinel defaults (None) so preset expansion can tell "user set this
+    # explicitly" from "default" even under argparse prefix abbreviation
+    # (e.g. `--qua none` must win over --preset tpu-serving)
     ap.add_argument("--quant", choices=["none", "int8_static"],
-                    default="none")
-    ap.add_argument("--quant_max_hw", type=int, default=0,
+                    default=None)
+    ap.add_argument("--quant_max_hw", type=int, default=None,
                     help="leave convs with input height above this in bf16")
     ap.add_argument("--upsample", choices=["subpixel", "transpose"],
                     default="subpixel")
@@ -125,13 +128,15 @@ def parse_args(argv=None):
                          "explicit --quant/--quant_max_hw flags win")
     args = ap.parse_args(argv)
     if args.preset == "tpu-serving":
-        explicit = set()
-        for tok in (argv if argv is not None else sys.argv[1:]):
-            explicit.add(tok.split("=", 1)[0])
-        if "--quant" not in explicit:
+        if args.quant is None:
             args.quant = "int8_static"
-        if "--quant_max_hw" not in explicit:
+        if args.quant_max_hw is None:
             args.quant_max_hw = 128
+    # resolve remaining sentinels to the plain defaults
+    if args.quant is None:
+        args.quant = "none"
+    if args.quant_max_hw is None:
+        args.quant_max_hw = 0
     return args
 
 

@@ -41,8 +41,10 @@ class MTVAE(nn.Module):
                                    param_dtype=jnp.float32)
         self.make_c_dec = nn.Dense(self.dim, dtype=self.dtype,
                                    param_dtype=jnp.float32)
-        self.make_mu = nn.Dense(self.z_dim, dtype=self.dtype,
-                                param_dtype=jnp.float32)
+        # the reference declares two further heads (make_mu, cov) that its
+        # forward never calls (mt_vae.py setup); we do NOT declare them —
+        # linen would create no params for an uncalled submodule anyway,
+        # and convert_mtvae synthesizes their keys when exporting
 
     def _encode(self, seq, h0c0):
         hs, (h_n, _) = self.lstm_enc(seq, initial_carry=h0c0)

@@ -126,8 +126,13 @@ def triplet_loss(anchor, positive, negative, margin: float = 0.2):
 
 
 def feature_matching_loss(feats_real: Sequence, feats_fake: Sequence):
+    """Mean over levels of per-level mean-L1 (reference Sequence_disc
+    .fmap_loss, models/pose_discriminator.py:173-180, divides the summed
+    per-level means by the level count — matching that scale keeps
+    reference-tuned loss weights transferable)."""
+    n = len(feats_real)
     return sum(jnp.mean(jnp.abs(fr - ff))
-               for fr, ff in zip(feats_real, feats_fake))
+               for fr, ff in zip(feats_real, feats_fake)) / n
 
 
 def weight_decay_loss(params) -> jnp.ndarray:

@@ -117,9 +117,14 @@ def _mfu_fields(flops_total, dt, envelope_tflops=None, envelope_note=None):
     return out
 
 
-def bench_pipeline():
+def bench_pipeline(quant=None, quant_max_hw=None):
     """Full behavior-transfer program: flow sample -> rollout -> FK/project
-    -> device stickman -> VUNet, ONE jit.  Production sizes."""
+    -> device stickman -> VUNet, ONE jit.  Production sizes.
+
+    quant/quant_max_hw: explicit overrides (round mode passes these as
+    parameters so a mid-bench exception can never leak int8 settings into
+    a later sub-bench via os.environ); None falls back to BENCH_QUANT /
+    BENCH_QUANT_MAX_HW for the single-mode CLI."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -147,11 +152,13 @@ def bench_pipeline():
     # per-frame path (same params; ops/nn._conv_int8) — quality delta vs
     # bf16 measured by examples/quant_ablation.py.  "int8" = dynamic
     # scales (slower: extra max-reduce pass per conv).
-    quant = os.environ.get("BENCH_QUANT", "none")
+    if quant is None:
+        quant = os.environ.get("BENCH_QUANT", "none")
     # BENCH_QUANT_MAX_HW=128: leave convs ABOVE this input height in bf16
     # (top-scale quantize passes cost ~what the int8 MXU rate saves there,
     # and the output-adjacent convs are the most quality-sensitive)
-    quant_max_hw = int(os.environ.get("BENCH_QUANT_MAX_HW", "0"))
+    if quant_max_hw is None:
+        quant_max_hw = int(os.environ.get("BENCH_QUANT_MAX_HW", "0"))
     # BENCH_UPSAMPLE=transpose: lower subpixel upsamples as transposed
     # convs (identical numerics, skips depth_to_space relayout copies)
     ups_transpose = os.environ.get("BENCH_UPSAMPLE", "") == "transpose"
@@ -360,7 +367,12 @@ def bench_behavior():
         "metric": "behavior_flow_sample_rollout_rate",
         "value": round(lps, 2),
         "unit": "sequences/sec/chip",
-        "vs_baseline": round(lps * T / NORTH_STAR_FPS, 4),
+        # ratio to last known good: ~39k seq/s measured on the v5e chip in
+        # round 1 at these exact shapes (ROADMAP.md round-1 outcome list);
+        # the old anchor (x T / serving north-star) was a unit mismatch
+        "vs_baseline": round(lps / 39000.0, 4),
+        "baseline_note": "ratio to round-1 chip measurement 39,000 seq/s "
+                         "at B=256/T=50/HID=1024 (ROADMAP.md)",
         **_mfu_fields(_loop_flops(compiled, n_iters), dt),
     }
 
@@ -422,7 +434,14 @@ def bench_flow_train():
         "metric": "flow_train_rate_630M",
         "value": round(sps, 2),
         "unit": "sequences/sec/chip",
-        "vs_baseline": round((n_iters / dt) / 0.03, 2),  # pre-donation rate
+        # ratio to last known good: 1,904.08 seq/s recorded in BENCH_r03
+        # at these exact shapes (B=64, 630M params, donated state).  The
+        # old anchor divided steps/sec by the 2,000 f/s SERVING north-star
+        # — a unit mismatch that made the column meaningless (VERDICT r3
+        # weak #4).
+        "vs_baseline": round(sps / 1904.08, 4),
+        "baseline_note": "ratio to BENCH_r03 recorded 1,904.08 seq/s "
+                         "(same shapes, donated state)",
         **_mfu_fields(_loop_flops(compiled, n_iters), dt),
     }
 
@@ -518,14 +537,11 @@ def main():
     # preset; its numerics on a trained ckpt are rel-L2 0.003 / SSIM 0.9995
     # vs f32 (QUANT_ABLATION.json).  The bf16 pipeline is kept as an extra
     # row for continuity with BENCH_r01/r02.
-    os.environ["BENCH_QUANT"] = "int8_static"
-    os.environ["BENCH_QUANT_MAX_HW"] = "128"
-    head = bench_pipeline()
+    head = bench_pipeline(quant="int8_static", quant_max_hw=128)
     head["metric"] += "_int8_serving_preset"
     head["preset"] = ("bdvs-generate --preset tpu-serving (int8_static + "
                       "quant_max_hw 128); trained-ckpt numerics rel-L2 "
                       "0.003 / SSIM 0.9995 vs f32, QUANT_ABLATION.json")
-    del os.environ["BENCH_QUANT"], os.environ["BENCH_QUANT_MAX_HW"]
     _ROUND_PARTIAL.update(head)
     print(f"# pipeline(int8 preset) done: {head['value']} f/s",
           file=sys.stderr, flush=True)

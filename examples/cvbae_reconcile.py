@@ -1,0 +1,178 @@
+"""Reconcile the cvbae train-throughput numbers in ONE chip run
+(VERDICT r3 weak #2 / next-round item 2).
+
+History: the round-2 B-sweep (examples/profile_train.py) recorded
+110.7 img/s at B=12 and became bench.py's anchor; the round-3 bench
+recorded 92.75 img/s *donated* — the rate the round-3 ROADMAP attributed
+to the UNdonated path.  The two harnesses measure different step
+configurations:
+
+  profile_train.py (the 110.7 anchor): dropout OFF (VUNet default 0.0),
+      f32 VGG, regressor ON (reference production config trains it).
+  bench.py:        dropout 0.05 (the reference production value,
+      /root/reference/config/shape_and_pose_net.yaml:52), bf16 VGG,
+      regressor OFF.
+
+This script times every arm in one process on the chip so the numbers
+are finally comparable, including donated vs undonated for the bench
+arm.  Writes CVBAE_RECONCILE.json.
+
+Run: python examples/cvbae_reconcile.py [--batch 12] [--steps 10]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from behavior_driven_video_synthesis_tpu.core.config import Config
+from behavior_driven_video_synthesis_tpu.models.perceptual import (
+    PerceptualVGG19,
+)
+from behavior_driven_video_synthesis_tpu.models.vunet import (
+    VUNet,
+    VunetRegressor,
+    compute_n_scales,
+)
+from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+    create_vunet_state,
+    make_cvbae_train_step,
+)
+
+
+def build(B, S, *, dropout, regressor_on, vgg_dtype, key):
+    config = Config({
+        "architecture": {"cvae": False},
+        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                     "weight_regressor": 4.0,
+                     "train_regressor": regressor_on,
+                     "gamma_step": 1e-5, "information_max": 1000.0,
+                     "n_init_batches": 4},
+    })
+    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
+                  dropout_prob=dropout, dtype=jnp.bfloat16)
+    vgg = PerceptualVGG19(dtype=vgg_dtype)
+    rng = np.random.RandomState(0)
+    batch = {
+        "app_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "pose_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "stickman": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+    }
+    if regressor_on:
+        batch["reg_imgs"] = jnp.asarray(rng.rand(B, 1, S, S, 3) * 2 - 1,
+                                        jnp.float32)
+        batch["reg_targets"] = jnp.asarray(rng.rand(B, 1, 17, 2),
+                                           jnp.float32)
+        n_scales = compute_n_scales(S, 2, 0)
+        bottleneck = S // 2 ** (n_scales - 1)
+        regressor = VunetRegressor(
+            n_out=34, latent_widths=[bottleneck * 2 ** i for i in range(2)])
+    else:
+        regressor = None
+    vgg_vars = vgg.init(key, batch["pose_img"][:1])
+    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9),
+           "regressor": optax.adam(5e-4)}
+    state = create_vunet_state(key, vunet, regressor, vgg, txs, batch)
+    step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
+                                 config)
+    return state, step, batch
+
+
+def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
+             donate):
+    key = jax.random.PRNGKey(0)
+    state, step, batch = build(B, S, dropout=dropout,
+                               regressor_on=regressor_on,
+                               vgg_dtype=vgg_dtype, key=key)
+
+    def loop(state, batch, k0):
+        def body(i, carry):
+            st, k = carry
+            st, _ = step(st, batch, k)
+            return st, jax.random.fold_in(k, i)
+        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
+        return st
+
+    donate_args = (0,) if donate else ()
+    compiled = jax.jit(loop, donate_argnums=donate_args).lower(
+        state, batch, key).compile()
+    st = compiled(state, batch, key)
+    float(jnp.sum(st.gamma))  # force completion through the relay
+    times = []
+    for r in range(3):
+        arg = st if donate else state
+        t0 = time.perf_counter()
+        out = compiled(arg, batch, jax.random.fold_in(key, r))
+        float(jnp.sum(out.gamma))
+        times.append(time.perf_counter() - t0)
+        if donate:
+            st = out
+    dt = min(times)
+    ips = B * n_iters / dt
+    row = {"arm": name, "img_per_s": round(ips, 2),
+           "ms_per_step": round(dt / n_iters * 1e3, 2),
+           "dropout": dropout, "regressor": regressor_on,
+           "vgg_dtype": str(vgg_dtype.__name__), "donated": donate}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--spatial", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "CVBAE_RECONCILE.json"))
+    args = ap.parse_args()
+    B, S, n = args.batch, args.spatial, args.steps
+
+    arms = [
+        # the bench.py row as recorded in BENCH_r03
+        dict(name="bench_r3 (dropout, no reg, bf16 vgg) donated",
+             dropout=0.05, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=True),
+        dict(name="bench_r3 undonated",
+             dropout=0.05, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=False),
+        # the round-2 anchor harness (profile_train.py defaults)
+        dict(name="anchor_r2 (no dropout, reg, f32 vgg) donated",
+             dropout=0.0, regressor_on=True, vgg_dtype=jnp.float32,
+             donate=True),
+        # isolate dropout
+        dict(name="bench minus dropout",
+             dropout=0.0, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=True),
+        # the FULL reference production config (what bench should report):
+        # dropout 0.05 + trained regressor
+        dict(name="reference production (dropout + reg) donated",
+             dropout=0.05, regressor_on=True, vgg_dtype=jnp.bfloat16,
+             donate=True),
+    ]
+    rows = []
+    for a in arms:
+        nm = a.pop("name")
+        rows.append(time_arm(nm, B, S, n, **a))
+
+    out = {"batch": B, "spatial": S, "steps_per_timing": n,
+           "device": jax.devices()[0].device_kind, "arms": rows,
+           "note": "one-process A/B to reconcile BENCH_r03 92.75 donated "
+                   "vs the round-2 110.7 anchor (VERDICT r3 weak #2)"}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {os.path.abspath(args.out)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,19 +9,30 @@
 //   warp_perspective_batch : N x (3x3 homography) bilinear warps
 //   render_stickman_batch  : N skeletons -> 3-channel stickman rasters
 //   assemble_part_stack    : per-sample 10-part warp + channel concat
+//   decode_jpeg[_batch]    : libjpeg-turbo RGB decode with DCT-domain
+//                            downscaling (scale 1/1..1/8) — the training
+//                            loader decodes 1000px camera frames only to
+//                            crop+resize them to 256px, so decoding at a
+//                            reduced DCT scale skips most of the IDCT
+//                            work (the single-thread decode bottleneck
+//                            in HOST_PIPELINE.json)
 //
 // All buffers are caller-allocated numpy arrays (uint8 HWC / float32).
 // OpenMP-free; parallelism via a simple std::thread pool so the library
-// has zero dependencies beyond libstdc++.
+// has zero dependencies beyond libstdc++ and the system libjpeg-turbo.
 
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <functional>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
 
 namespace {
 
@@ -156,9 +167,85 @@ void fill_poly(uint8_t* img, int h, int w, const float* verts, int n,
   }
 }
 
+// ---- jpeg decode (libjpeg-turbo, mem source, DCT-domain scaling) ----
+
+struct JpegErrCtx {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_error_trap(j_common_ptr cinfo) {
+  JpegErrCtx* ctx = reinterpret_cast<JpegErrCtx*>(cinfo->err);
+  longjmp(ctx->jb, 1);
+}
+
+void jpeg_silence(j_common_ptr, int) {}
+
+// Decode one jpeg into caller memory as tightly-packed RGB (or grayscale
+// replicated to 3 channels by libjpeg's color conversion).  scale_denom in
+// {1,2,4,8} selects libjpeg's DCT-domain downscale: output dims are
+// ceil(dim/scale_denom) and the IDCT does proportionally less work.
+// Returns 0 ok, -1 decode error, -2 output capacity too small.
+int decode_one_jpeg(const uint8_t* buf, size_t len, int scale_denom,
+                    uint8_t* out, size_t cap, int* oh, int* ow) {
+  jpeg_decompress_struct cinfo;
+  JpegErrCtx jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_trap;
+  jerr.mgr.emit_message = jpeg_silence;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom;
+  jpeg_calc_output_dimensions(&cinfo);
+  const int h = (int)cinfo.output_height, w = (int)cinfo.output_width;
+  if ((size_t)h * w * 3 > cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_start_decompress(&cinfo);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *oh = h;
+  *ow = w;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Single-image decode; see decode_one_jpeg.  out must hold
+// ceil(h/scale)*ceil(w/scale)*3 bytes; dims written to *oh/*ow.
+int decode_jpeg(const uint8_t* buf, long long len, int scale_denom,
+                uint8_t* out, long long cap, int* oh, int* ow) {
+  return decode_one_jpeg(buf, (size_t)len, scale_denom, out, (size_t)cap,
+                         oh, ow);
+}
+
+// Threaded batch decode.  data: concatenated jpeg streams; offsets: n+1
+// byte offsets into data; outs: n contiguous slots of out_stride bytes
+// each; dims: (n,2) int32 [h,w] per image; rcs: per-image return code.
+void decode_jpeg_batch(const uint8_t* data, const long long* offsets, int n,
+                       int scale_denom, uint8_t* outs, long long out_stride,
+                       int* dims, int* rcs, int n_threads) {
+  parallel_for(n, n_threads, [&](int i) {
+    rcs[i] = decode_one_jpeg(
+        data + offsets[i], (size_t)(offsets[i + 1] - offsets[i]),
+        scale_denom, outs + (size_t)i * out_stride, (size_t)out_stride,
+        &dims[i * 2], &dims[i * 2 + 1]);
+  });
+}
 
 void assemble_part_stack_mt(const uint8_t* img, int sh, int sw,
                             const double* mats, const uint8_t* valid,
@@ -273,6 +360,6 @@ void assemble_part_stack_mt(const uint8_t* img, int sh, int sw,
   });
 }
 
-int bdvs_native_version() { return 1; }
+int bdvs_native_version() { return 2; }
 
 }  // extern "C"

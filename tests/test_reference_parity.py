@@ -739,12 +739,13 @@ def test_living_reference_gan_triplet_hinge_mi_match(ref, monkeypatch):
     np.testing.assert_allclose(float(our_disc), float(ref_disc), rtol=1e-5)
     np.testing.assert_allclose(float(our_gen), float(ref_gen), rtol=1e-5)
 
-    # feature matching: mean-L1 per level, averaged over levels (ref
-    # Sequence_disc.fmap_loss pose_discriminator.py:170-180 divides by the
-    # level count; ours sums — scale check makes the relation explicit)
+    # feature matching: mean-L1 per level, averaged over levels — true
+    # parity with ref Sequence_disc.fmap_loss (pose_discriminator.py:
+    # 173-180, divides by the level count)
     f1 = [rs.randn(2, 4).astype(np.float32) for _ in range(3)]
     f2 = [rs.randn(2, 4).astype(np.float32) for _ in range(3)]
     ours_fm = float(ours.feature_matching_loss(
         [jnp.asarray(x) for x in f1], [jnp.asarray(x) for x in f2]))
-    ref_fm = sum(float(np.mean(np.abs(x - y))) for x, y in zip(f1, f2))
+    ref_fm = sum(float(np.mean(np.abs(x - y)))
+                 for x, y in zip(f1, f2)) / len(f1)
     np.testing.assert_allclose(ours_fm, ref_fm, rtol=1e-5)
