@@ -352,11 +352,44 @@ class BaseDataset:
             raise FileNotFoundError(self.datadict["img_paths"][idx])
         return img
 
-    def _prep_image(self, idx: int) -> np.ndarray:
+    def _load_image_rgb(self, idx: int, min_dim=None) -> np.ndarray:
+        """uint8 HWC RGB image for sample idx.
+
+        Fast path: jpeg files decode through the native libjpeg kernel
+        (native/bdvs_native.cpp decode_jpeg; bit-exact vs cv2.imread at
+        full scale).  With a ``min_dim`` hint the decode uses libjpeg's
+        DCT-domain downscaling at the largest power-of-two denominator
+        that still leaves both output dims >= min_dim, so the later
+        resize to ``spatial_size`` remains a pure downscale while the
+        IDCT does up to 1/64 of the pixel work — the single-thread decode
+        bottleneck measured in HOST_PIPELINE.json.
+        """
+        from . import native
+        p = str(self.datadict["img_paths"][idx])
+        if native.decode_available() and p.lower().endswith(
+                (".jpg", ".jpeg")):
+            try:
+                with open(p, "rb") as f:
+                    data = f.read()
+                denom = 1
+                if min_dim:
+                    h, w = native.jpeg_dims(data)
+                    for d in (2, 4, 8):
+                        if (-(-h // d) >= min_dim
+                                and -(-w // d) >= min_dim):
+                            denom = d
+                return native.decode_jpeg(data, denom)
+            except (ValueError, OSError):
+                pass  # corrupt/unsupported stream: fall through to cv2
         img = self._load_image(idx)
         if img.ndim == 3 and img.shape[-1] == 3 and cv2 is not None:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)  # ref :313-314
-        if img.shape[0] != self.spatial_size:
+        return img
+
+    def _prep_image(self, idx: int) -> np.ndarray:
+        img = self._load_image_rgb(idx, min_dim=self.spatial_size)
+        if (img.shape[0] != self.spatial_size
+                or img.shape[1] != self.spatial_size):
             img = cv2.resize(img, (self.spatial_size, self.spatial_size),
                              interpolation=cv2.INTER_LINEAR)
         return img

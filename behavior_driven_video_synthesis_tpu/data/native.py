@@ -173,7 +173,7 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray:
     buf = np.frombuffer(data, np.uint8)
     # exact output dims from a header-only scan so the buffer is allocated
     # tight (libjpeg only reports output dims mid-decode)
-    h, w = _jpeg_dims(data)
+    h, w = jpeg_dims(data)
     oh = -(-h // scale_denom)
     ow = -(-w // scale_denom)
     out = np.empty((oh, ow, 3), np.uint8)
@@ -188,7 +188,7 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray:
     return out
 
 
-def _jpeg_dims(data: bytes):
+def jpeg_dims(data: bytes):
     """(height, width) from the SOFn marker — a few dozen bytes of header
     scan, no pixel work."""
     i = 2
@@ -219,7 +219,7 @@ def decode_jpeg_batch(streams, scale_denom: int = 1,
     n = len(streams)
     if n == 0:
         return []
-    dims_full = [_jpeg_dims(s) for s in streams]
+    dims_full = [jpeg_dims(s) for s in streams]
     shapes = [(-(-h // scale_denom), -(-w // scale_denom))
               for h, w in dims_full]
     stride = max(h * w * 3 for h, w in shapes)

@@ -38,6 +38,7 @@ import optax
 
 from behavior_driven_video_synthesis_tpu.core.config import Config
 from behavior_driven_video_synthesis_tpu.models.perceptual import (
+    LaplacianPyramidFeatures,
     PerceptualVGG19,
 )
 from behavior_driven_video_synthesis_tpu.models.vunet import (
@@ -62,7 +63,10 @@ def build(B, S, *, dropout, regressor_on, vgg_dtype, key):
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   dropout_prob=dropout, dtype=jnp.bfloat16)
-    vgg = PerceptualVGG19(dtype=vgg_dtype)
+    if vgg_dtype == "laplacian":
+        vgg = LaplacianPyramidFeatures()
+    else:
+        vgg = PerceptualVGG19(dtype=vgg_dtype)
     rng = np.random.RandomState(0)
     batch = {
         "app_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
@@ -123,7 +127,9 @@ def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
     row = {"arm": name, "img_per_s": round(ips, 2),
            "ms_per_step": round(dt / n_iters * 1e3, 2),
            "dropout": dropout, "regressor": regressor_on,
-           "vgg_dtype": str(vgg_dtype.__name__), "donated": donate}
+           "features": (vgg_dtype if isinstance(vgg_dtype, str)
+                        else vgg_dtype.__name__),
+           "donated": donate}
     print(json.dumps(row), flush=True)
     return row
 
@@ -158,6 +164,12 @@ def main():
         # dropout 0.05 + trained regressor
         dict(name="reference production (dropout + reg) donated",
              dropout=0.05, regressor_on=True, vgg_dtype=jnp.bfloat16,
+             donate=True),
+        # the SHIPPED production default: laplacian perceptual features
+        # (configs/shape_and_pose_net.yaml perceptual: laplacian) —
+        # no VGG forward in the loss at all
+        dict(name="shipped production default (dropout + reg, laplacian)",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
              donate=True),
     ]
     rows = []

@@ -129,6 +129,24 @@ def main():
         print(f"{name}: {st}", flush=True)
 
     bench_stage("jpeg_decode_1000px", lambda p: cv2.imread(p), paths)
+    if native.decode_available():
+        def read_bytes(p):
+            with open(p, "rb") as f:
+                return f.read()
+        streams = [read_bytes(p) for p in paths]
+        bench_stage("jpeg_decode_native_full",
+                    lambda s: native.decode_jpeg(s, 1), streams)
+        # the loader's DCT-downscaled path (data/base.py _load_image_rgb):
+        # largest denom keeping both dims >= S, so the later resize to S
+        # is still a pure downscale
+        h0, w0 = native.jpeg_dims(streams[0])
+        denom = 1
+        for d in (2, 4, 8):
+            if -(-h0 // d) >= S and -(-w0 // d) >= S:
+                denom = d
+        bench_stage(f"jpeg_decode_native_dct1_{denom}",
+                    lambda s: native.decode_jpeg(s, denom), streams)
+        results["dct_denom"] = denom
     bench_stage(
         "crop_resize", lambda t: cv2.resize(
             crop_with_bbox(t[0], t[1]), (S, S),
@@ -179,12 +197,50 @@ def main():
     bench_stage("full_sample_e2e",
                 full_sample, list(zip(paths, kps_all, kps_small)))
 
+    if native.decode_available():
+        # the production loader path (data/base.py _load_image_rgb +
+        # _prep_image): native decode at the DCT denom chosen above,
+        # resize to S, then crop/stickman/parts exactly as full_sample
+        def full_sample_native(t):
+            stream, kps, kps_s = t
+            img = native.decode_jpeg(stream, denom)
+            img = cv2.resize(img, (S, S), interpolation=cv2.INTER_LINEAR)
+            img = cv2.resize(crop_with_bbox(img, kps_s), (S, S),
+                             interpolation=cv2.INTER_LINEAR)
+            stick = native.render_stickman_batch(kps_s[None], jm, S)[0]
+            parts = normalize_parts(img, kps_s, jm, part_size)
+            return img, stick, parts
+
+        bench_stage("full_sample_e2e_native", full_sample_native,
+                    list(zip(streams, kps_all, kps_small)))
+
+        # numerics: the DCT-downscaled decode+resize vs full decode+resize
+        # on the same frame (both end at SxS)
+        a = cv2.resize(native.decode_jpeg(streams[0], denom), (S, S),
+                       interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        b = cv2.resize(native.decode_jpeg(streams[0], 1), (S, S),
+                       interpolation=cv2.INTER_LINEAR).astype(np.float32)
+        err = np.abs(a - b)
+        results["dct_downscale_numerics"] = {
+            "mean_abs_err_u8": round(float(err.mean()), 3),
+            "p99_abs_err_u8": round(float(np.percentile(err, 99)), 1),
+            "note": ("DCT-downscaled decode then resize-to-S vs full "
+                     "decode then resize-to-S; both pure downscales of "
+                     "the same stream"),
+        }
+
     e2e = results["stages"]["full_sample_e2e"]["single_thread_ips"]
+    e2e_prod = results["stages"].get(
+        "full_sample_e2e_native", {}).get("single_thread_ips", e2e)
     results["verdict"] = {
         "train_target_ips": 157.0,
-        "cores_needed_for_train_target": round(157.0 / max(e2e, 1e-9), 2),
+        "cores_needed_for_train_target": round(
+            157.0 / max(e2e_prod, 1e-9), 2),
+        "cores_needed_cv2_path": round(157.0 / max(e2e, 1e-9), 2),
         "note": ("serving needs only 1 appearance prep per video: raster "
-                 "+ synthesis run on device (pipeline.py)"),
+                 "+ synthesis run on device (pipeline.py); the production "
+                 "loader uses the native DCT-downscaled decode "
+                 "(full_sample_e2e_native)"),
     }
     path = os.path.join(os.path.dirname(__file__), "..",
                         "HOST_PIPELINE.json")

@@ -65,6 +65,7 @@ _SLOW = {
     "test_behavior_model.py::TestProbes::test_all_probe_shapes",
     "test_figures.py::test_nearest_neighbour_figure",
     "test_reference_parity.py::test_living_reference_realistic_vunet_org",
+    "test_multichip_256.py",                    # whole module: 256px compiles
 }
 
 

@@ -96,15 +96,28 @@ def test_graft_entry_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+# Wall-clock ceiling for the DEFAULT dryrun matrix (BDVS_DRYRUN_FULL
+# unset) on this 1-vCPU box.  The r03 driver killed the run at ~500s
+# (MULTICHIP_r03 rc=124 after the matrix grew to 12 layouts), so any
+# matrix growth must keep the default run comfortably below that; the
+# trimmed 10-layout matrix measures ~300s here.  If this assertion
+# fires, cut compile cost (gate extras behind BDVS_DRYRUN_FULL, shrink
+# model dims) BEFORE the driver artifact goes red again.
+DRYRUN_BUDGET_S = 420
+
+
 @pytest.mark.e2e
 def test_graft_entry_dryrun_driver_topology():
     """Invoke dryrun_multichip via a fresh ``python -c`` process with NO
     platform env vars set — exactly the process topology the driver uses.
     Round 1's in-process test ran after conftest had already switched
-    platforms and missed a backend-bootstrap-order bug (MULTICHIP_r01 red)."""
+    platforms and missed a backend-bootstrap-order bug (MULTICHIP_r01 red).
+    Also asserts the run fits the driver wall-clock budget (MULTICHIP_r03
+    went red on time, not correctness)."""
     import os
     import subprocess
     import sys
+    import time
 
     root = os.path.join(os.path.dirname(__file__), "..")
     code = (
@@ -113,11 +126,20 @@ def test_graft_entry_dryrun_driver_topology():
         "dryrun_multichip(8)\n"
     ).format(root=os.path.abspath(root))
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "BDVS_DRYRUN_FULL")}
+    t0 = time.perf_counter()
     r = subprocess.run([sys.executable, "-c", code], env=env,
-                       capture_output=True, text=True, timeout=1500)
+                       capture_output=True, text=True,
+                       timeout=DRYRUN_BUDGET_S + 120)
+    elapsed = time.perf_counter() - t0
     assert r.returncode == 0, r.stderr[-4000:]
     for line in ("dp8: OK", "dp4xtp2: OK", "cvbae dp8: OK",
-                 "cvbae dp2xspatial4: OK",
-                 "cvbae dp2xspatial4 remat: OK", "pipeline dp8: OK"):
+                 "cvbae dp2xspatial4: OK", "pipeline dp8: OK",
+                 "flow fsdp8: OK", "mtvae dp8: OK",
+                 "org-vunet dp2xspatial: OK", "cvbae+gan dp8: OK",
+                 "grad_accum2 x fsdp8: OK"):
         assert line in r.stdout, (line, r.stdout)
+    assert elapsed < DRYRUN_BUDGET_S, (
+        f"dryrun took {elapsed:.0f}s — over the {DRYRUN_BUDGET_S}s budget "
+        f"(driver kills at ~500s; see MULTICHIP_r03).  Per-layout timings:\n"
+        f"{r.stdout}")

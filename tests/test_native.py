@@ -118,3 +118,88 @@ class TestPartStack:
                      for _ in range(n_parts)]
             np.concatenate(parts, axis=-1)
         return time.perf_counter() - t0
+
+
+class TestJpegDecode:
+    """decode_jpeg[_batch]: libjpeg decode with DCT-domain downscaling
+    (native/bdvs_native.cpp v2) — the loader's stage-1 bottleneck fix."""
+
+    @pytest.fixture(autouse=True)
+    def _need_decode(self):
+        if not native.decode_available():
+            pytest.skip("library built without jpeg decode (v1)")
+
+    def _jpeg(self, rng, h=240, w=320, q=92, smooth=False):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        if smooth:
+            # natural-image-like content: white noise is the worst case
+            # for comparing two different low-pass downscales
+            img = cv2.GaussianBlur(img, (0, 0), 3)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+        assert ok
+        return enc.tobytes()
+
+    def test_full_scale_bit_exact_vs_cv2(self, rng):
+        data = self._jpeg(rng)
+        ours = native.decode_jpeg(data, 1)
+        ref = cv2.imdecode(np.frombuffer(data, np.uint8),
+                           cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_dims_header_scan(self, rng):
+        data = self._jpeg(rng, h=123, w=457)
+        assert native.jpeg_dims(data) == (123, 457)
+
+    def test_dct_downscale_dims_and_content(self, rng):
+        data = self._jpeg(rng, h=250, w=330, smooth=True)
+        for d in (2, 4, 8):
+            out = native.decode_jpeg(data, d)
+            assert out.shape == (-(-250 // d), -(-330 // d), 3), out.shape
+        # half-scale decode ~ full decode + area resize (DCT downscale is
+        # a clean low-pass; allow jpeg rounding slack)
+        half = native.decode_jpeg(data, 2).astype(np.float32)
+        full = cv2.resize(native.decode_jpeg(data, 1), (165, 125),
+                          interpolation=cv2.INTER_AREA).astype(np.float32)
+        assert np.abs(half - full).mean() < 8.0
+
+    def test_batch_matches_single_and_mixed_sizes(self, rng):
+        streams = [self._jpeg(rng, h=100 + 17 * i, w=90 + 31 * i)
+                   for i in range(5)]
+        outs = native.decode_jpeg_batch(streams, scale_denom=2, n_threads=3)
+        for s, o in zip(streams, outs):
+            np.testing.assert_array_equal(o, native.decode_jpeg(s, 2))
+
+    def test_corrupt_stream_raises(self, rng):
+        data = self._jpeg(rng)
+        with pytest.raises(ValueError):
+            native.decode_jpeg(data[:40], 1)  # truncated before SOF
+        # NOTE: truncation mid-scan is a libjpeg WARNING, not an error —
+        # the decoder fills the remaining MCUs (same as cv2.imdecode);
+        # only header-level corruption raises.
+        out = native.decode_jpeg(data[:len(data) // 2], 1)
+        assert out.shape == (240, 320, 3)
+
+    def test_loader_uses_native_path(self, rng, tmp_path):
+        """BaseDataset._load_image_rgb: jpeg on disk -> native decode at
+        the largest DCT denom keeping dims >= spatial_size; numerics stay
+        close to the cv2 full-decode path after the resize."""
+        from behavior_driven_video_synthesis_tpu.data.base import (
+            BaseDataset,
+        )
+        img = cv2.GaussianBlur(
+            (rng.rand(512, 512, 3) * 255).astype(np.uint8), (0, 0), 3)
+        p = tmp_path / "f.jpg"
+        cv2.imwrite(str(p), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        ds = BaseDataset.__new__(BaseDataset)
+        ds.datadict = {"img_paths": np.array([str(p)])}
+        ds.spatial_size = 128
+        out = ds._load_image_rgb(0, min_dim=128)
+        # 512 / 4 = 128 >= 128 -> denom 4
+        assert out.shape == (128, 128, 3), out.shape
+        full = cv2.resize(
+            cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB),
+            (128, 128), interpolation=cv2.INTER_LINEAR)
+        assert np.abs(out.astype(np.float32)
+                      - full.astype(np.float32)).mean() < 8.0
+        prepped = ds._prep_image(0)
+        assert prepped.shape == (128, 128, 3)
