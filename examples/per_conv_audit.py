@@ -1,0 +1,352 @@
+"""Per-conv serving-gap audit (VERDICT r3 item 3).
+
+The round-3 bench reported the bf16 e2e pipeline at 0.47 of a 22 TF/s
+"FLOP-weighted XLA conv envelope" — but that envelope was extrapolated
+from only THREE proxy shapes (256^2xC32 / 128^2xC64 / 64^2xC128, measured
+at B=8).  This harness closes the accounting below stage granularity, at
+the exact serving shapes (chunk=125 frames, 256px):
+
+  1. walk the jaxpr of one synth chunk (du+dd transfer_cached, the
+     reference's VunetAlter generator path, /root/reference/models/
+     vunets.py:264-424) and extract the TRUE conv inventory — every
+     conv_general_dilated with its shapes/strides/dtype and multiplicity;
+  2. time each distinct conv ISOLATED at identical shape+batch with the
+     same honest feedback-loop protocol -> the measured XLA conv floor:
+     the time the stage would take if it were nothing but XLA's own
+     best-case convs back to back;
+  3. time the full chunked synth stage (as SERVING_GAP.json does);
+  4. profile the compiled stage (core/profiling.device_op_table) and
+     bucket per-fusion device self time into conv / copy / other, matching
+     conv fusions to inventory rows by output shape where the trace
+     metadata allows.
+
+Outputs a per-conv table into SERVING_GAP.json under "per_conv":
+for every distinct conv: count, FLOPs, isolated us, achieved TF/s, and
+(where matched) in-graph us — so every lost millisecond has an address.
+Also reports envelope_true_tflops = total conv FLOPs / conv floor time:
+the honest envelope over the real conv mix, replacing the 3-shape proxy.
+
+Run on the chip: python examples/per_conv_audit.py
+"""
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from behavior_driven_video_synthesis_tpu.core.profiling import (
+    device_op_table,
+    trace,
+)
+
+B = int(os.environ.get("BENCH_BATCH", "20"))
+S = int(os.environ.get("BENCH_SPATIAL", "256"))
+T = int(os.environ.get("BENCH_LENGTH", "50"))
+N_ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+HID, K_FULL, K_USE = 1024, 51, 48
+
+
+# ---------------------------------------------------------------- inventory
+
+def _walk_jaxpr(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            out.append(eqn)
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for u in vs:
+                if hasattr(u, "jaxpr"):        # ClosedJaxpr
+                    _walk_jaxpr(u.jaxpr, out)
+                elif hasattr(u, "eqns"):       # Jaxpr
+                    _walk_jaxpr(u, out)
+
+
+def conv_inventory(fn, *args):
+    """Distinct conv configs (with multiplicity) in fn's jaxpr."""
+    eqns = []
+    _walk_jaxpr(jax.make_jaxpr(fn)(*args).jaxpr, eqns)
+    inv = {}
+    for eqn in eqns:
+        lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+        out = eqn.outvars[0].aval
+        p = eqn.params
+        sig = (tuple(lhs.shape), tuple(rhs.shape), str(lhs.dtype),
+               str(rhs.dtype), str(out.dtype), tuple(p["window_strides"]),
+               tuple(tuple(q) for q in p["padding"]),
+               tuple(p["lhs_dilation"]), tuple(p["rhs_dilation"]),
+               int(p["feature_group_count"]))
+        if sig not in inv:
+            # FLOPs: 2 * output positions * Cin/fgc * kh * kw (NHWC/HWIO)
+            dn = p["dimension_numbers"]
+            out_shape = tuple(out.shape)
+            kh, kw, cin_g = rhs.shape[0], rhs.shape[1], rhs.shape[2]
+            flops = 2.0 * float(np.prod(out_shape)) * cin_g * kh * kw
+            inv[sig] = {
+                "lhs": list(lhs.shape), "rhs": list(rhs.shape),
+                "out": list(out_shape), "lhs_dtype": str(lhs.dtype),
+                "out_dtype": str(out.dtype),
+                "strides": list(p["window_strides"]),
+                "padding": [list(q) for q in p["padding"]],
+                "lhs_dilation": list(p["lhs_dilation"]),
+                "rhs_dilation": list(p["rhs_dilation"]),
+                "fgc": int(p["feature_group_count"]),
+                "flops_each": flops, "count": 0,
+                "_params": p,
+            }
+        inv[sig]["count"] += 1
+    return list(inv.values())
+
+
+# ---------------------------------------------------------------- timing
+
+def time_conv(row, n_iters=20):
+    """Feedback-loop min-of-3 timing of one isolated conv."""
+    p = row["_params"]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*row["lhs"]) * 0.1, row["lhs_dtype"])
+    w = jnp.asarray(rng.randn(*row["rhs"]) * 0.1, row["lhs_dtype"])
+
+    def loop(x, w):
+        def body(i, carry):
+            acc, x = carry
+            y = lax.conv_general_dilated(
+                x, w, p["window_strides"], p["padding"],
+                lhs_dilation=p["lhs_dilation"],
+                rhs_dilation=p["rhs_dilation"],
+                dimension_numbers=p["dimension_numbers"],
+                feature_group_count=p["feature_group_count"],
+                precision=p["precision"],
+                preferred_element_type=p["preferred_element_type"])
+            m = jnp.mean(y.astype(jnp.float32))
+            # feed the output back into the input so XLA cannot hoist
+            return acc + m, x * (1 + m * 1e-12).astype(x.dtype)
+        acc, _ = lax.fori_loop(0, n_iters, body, (jnp.zeros(()), x))
+        return acc
+
+    compiled = jax.jit(loop).lower(x, w).compile()
+    float(compiled(x, w))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(compiled(x, w))
+        times.append(time.perf_counter() - t0)
+    return min(times) / n_iters
+
+
+# ---------------------------------------------------------------- stage
+
+def build_synth():
+    from behavior_driven_video_synthesis_tpu.data.human36m import (
+        detailed_joint_model,
+    )
+    from behavior_driven_video_synthesis_tpu.models import (
+        ResidualBehaviorNet,
+    )
+    from behavior_driven_video_synthesis_tpu.models.flows import LatentFlow
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.pipeline import (
+        BehaviorTransferPipeline,
+    )
+
+    jm = detailed_joint_model(world_coords=True)
+    behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
+                                   dtype=jnp.bfloat16)
+    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
+                  dtype=jnp.bfloat16)
+    flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
+                      n_flows=15)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    mean = rng.randn(K_FULL).astype(np.float32)
+    std = (np.abs(rng.rand(K_FULL)) + 0.5).astype(np.float32)
+    dim_to_use = np.arange(K_FULL)[np.arange(K_FULL) % 17 != 0][:K_USE]
+
+    x = jnp.zeros((B, T, K_USE))
+    bp = behavior.init({"params": key, "sample": key}, x, x, T)["params"]
+    app = jnp.zeros((B, S, S, 3))
+    vp = vunet.init({"params": key, "sample": key}, app, app)["params"]
+    fv = flow.init({"params": key}, jnp.zeros((B, HID)))
+    pipe = BehaviorTransferPipeline(behavior, vunet, jm, mean, std,
+                                    dim_to_use, spatial_size=S,
+                                    flow_model=flow, vunet_chunk=128)
+    params = {"behavior": bp, "vunet": vp, "flow": fv}
+    z = jax.random.normal(key, (B, HID))
+    x_start = jnp.zeros((B, K_USE))
+    extr = jnp.tile(jnp.asarray(
+        np.hstack([np.eye(3), [[0], [0], [4.0]]]), jnp.float32), (B, 1, 1))
+    intr = jnp.tile(jnp.asarray([1145.0, 500.0, 1143.0, 500.0]), (B, 1))
+    imsize = jnp.full((B, 2), 1000.0)
+
+    n = B * T
+    cs, n_pad = pipe._chunk_size(n)
+    _, _, _, flat_stick0, means0 = jax.jit(
+        lambda p, k: pipe._front_stages(p, z, x_start, app, extr, intr,
+                                        imsize, k, T, True))(params, key)
+    m_chunked = tuple(
+        m.reshape((n_pad // cs, cs) + m.shape[1:]) for m in means0)
+    s_chunked = flat_stick0.reshape((n_pad // cs, cs)
+                                    + flat_stick0.shape[1:])
+    return vunet, params["vunet"], m_chunked, s_chunked, cs, n_pad // cs
+
+
+SHAPE_RE = re.compile(r"(?:bf16|f32|s8|s32|f16)\[([0-9,]+)\]")
+
+
+def classify_profile(rows, runs):
+    """Bucket device self time into conv / copy / other; collect per-shape
+    conv totals where the fusion metadata exposes an output shape."""
+    buckets = {"conv": 0.0, "copy": 0.0, "other": 0.0}
+    conv_by_shape = {}
+    detail = []
+    for r in rows:
+        name = r["op"]
+        meta_txt = " ".join(str(v) for v in r.get("meta", {}).values())
+        is_conv = ("conv" in name or "conv" in meta_txt)
+        is_copy = (name.startswith("copy") or "transpose" in name
+                   or name.startswith("bitcast"))
+        key = "conv" if is_conv else ("copy" if is_copy else "other")
+        buckets[key] += r["us_per_run"]
+        if is_conv:
+            m = SHAPE_RE.search(meta_txt) or SHAPE_RE.search(name)
+            shp = m.group(1) if m else "unknown"
+            conv_by_shape[shp] = conv_by_shape.get(shp, 0.0) \
+                + r["us_per_run"]
+        if r["share"] > 0.005:
+            detail.append({"op": name, "us_per_run": round(r["us_per_run"],
+                                                           1),
+                           "share": round(r["share"], 4),
+                           "kind": key})
+    return buckets, conv_by_shape, detail
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "SERVING_GAP.json"))
+    ap.add_argument("--skip-profile", action="store_true")
+    args = ap.parse_args()
+
+    vunet, vp, m_chunked, s_chunked, cs, n_chunks = build_synth()
+    print(f"chunk={cs} n_chunks={n_chunks}", flush=True)
+
+    def one_chunk(vp, m_c, s_c):
+        return vunet.apply({"params": vp}, list(m_c), s_c,
+                           method=vunet.transfer_cached)
+
+    m0 = tuple(m[0] for m in m_chunked)
+    inv = conv_inventory(one_chunk, vp, m0, s_chunked[0])
+    inv.sort(key=lambda r: -r["flops_each"] * r["count"])
+    total_flops = sum(r["flops_each"] * r["count"] for r in inv)
+    print(f"{len(inv)} distinct convs, "
+          f"{sum(r['count'] for r in inv)} total, "
+          f"{total_flops / 1e9:.2f} GFLOP/chunk", flush=True)
+
+    # isolated floor per distinct conv
+    floor_s = 0.0
+    for r in inv:
+        dt = time_conv(r)
+        r["isolated_us"] = round(dt * 1e6, 1)
+        r["isolated_tflops"] = round(r["flops_each"] / dt / 1e12, 2)
+        floor_s += dt * r["count"]
+        print(f"  {r['lhs']}x{r['rhs']}->{r['out']} s{r['strides']} "
+              f"x{r['count']}: {r['isolated_us']}us "
+              f"{r['isolated_tflops']}TF/s", flush=True)
+        del r["_params"]
+
+    # full synth stage, same protocol as serving_gap_audit stage 3
+    def synth_loop(vp, m_chunked, s_chunked, k0):
+        def synth_chunk(args_):
+            m_c, s_c = args_
+            return vunet.apply({"params": vp}, list(m_c), s_c,
+                               method=vunet.transfer_cached)
+
+        def body(i, carry):
+            acc, s, k = carry
+            frames = jax.lax.map(synth_chunk, (m_chunked, s))
+            d = jnp.mean(frames.astype(jnp.float32)) * 1e-6
+            return (acc + d, s + d.astype(s.dtype),
+                    jax.random.fold_in(k, i))
+
+        acc, _, _ = jax.lax.fori_loop(0, N_ITERS, body,
+                                      (jnp.zeros(()), s_chunked, k0))
+        return acc
+
+    key = jax.random.PRNGKey(1)
+    compiled = jax.jit(synth_loop).lower(vp, m_chunked, s_chunked,
+                                         key).compile()
+    float(compiled(vp, m_chunked, s_chunked, key))
+    times = []
+    for r_ in range(3):
+        t0 = time.perf_counter()
+        float(compiled(vp, m_chunked, s_chunked,
+                       jax.random.fold_in(key, r_)))
+        times.append(time.perf_counter() - t0)
+    synth_ms = min(times) / N_ITERS * 1e3
+
+    floor_ms = floor_s * n_chunks * 1e3
+    envelope_true = total_flops * n_chunks / (floor_s * n_chunks) / 1e12
+    summary = {
+        "chunk": cs, "n_chunks": n_chunks,
+        "synth_ms_per_run": round(synth_ms, 2),
+        "conv_floor_ms_per_run": round(floor_ms, 2),
+        "frac_of_conv_floor": round(floor_ms / synth_ms, 4),
+        "conv_flops_per_run_g": round(total_flops * n_chunks / 1e9, 2),
+        "envelope_true_tflops": round(envelope_true, 2),
+        "synth_achieved_tflops": round(
+            total_flops * n_chunks / (synth_ms / 1e3) / 1e12, 2),
+        "note": "conv floor = sum over the TRUE conv inventory of each "
+                "conv's isolated best-case XLA time at identical "
+                "shape/batch; envelope_true replaces the 3-shape 22 TF/s "
+                "proxy (which over-weighted the most efficient shapes)",
+    }
+    print(json.dumps(summary), flush=True)
+
+    profile = None
+    if not args.skip_profile:
+        tdir = "/tmp/per_conv_trace"
+        runs = 2
+        with trace(tdir):
+            for r_ in range(runs):
+                float(compiled(vp, m_chunked, s_chunked,
+                               jax.random.fold_in(key, 10 + r_)))
+        rows = device_op_table(tdir, runs=runs)
+        buckets, conv_by_shape, detail = classify_profile(rows, runs)
+        # profiler run covers N_ITERS loop iterations per call
+        per_run = {k: round(v / N_ITERS, 1) for k, v in buckets.items()}
+        profile = {
+            "self_time_us_per_run": per_run,
+            "conv_us_by_out_shape": {
+                k: round(v / N_ITERS, 1)
+                for k, v in sorted(conv_by_shape.items(),
+                                   key=lambda kv: -kv[1])},
+            "top_ops": detail[:25],
+        }
+        print(json.dumps(per_run), flush=True)
+
+    path = args.out
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data["per_conv"] = {"inventory": inv, "summary": summary,
+                        "profile": profile,
+                        "batch": B, "spatial": S, "length": T}
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print("wrote", os.path.abspath(path))
+
+
+if __name__ == "__main__":
+    main()
