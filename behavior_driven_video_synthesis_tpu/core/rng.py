@@ -38,3 +38,25 @@ class KeySeq:
     @property
     def key(self):
         return self._key
+
+
+def rbg_key(key):
+    """Re-wrap a PRNG key under the ``rbg`` implementation.
+
+    Under the default threefry2x32 PRNG, generating a dropout mask for every
+    activation tensor costs a long chain of scalar ALU ops per tensor; on TPU
+    the ``rbg`` implementation lowers random-bit generation to one hardware
+    ``rng-bit-generator`` HLO instead.  Measured on the cvbae-256 train step
+    (B=12, dropout_prob=0.05, the reference production value,
+    /root/reference/config/shape_and_pose_net.yaml:52) the threefry masks
+    cost ~25% of the whole step (CVBAE_RECONCILE.json).  The mask
+    distribution is unchanged — only the stream differs — so train steps
+    re-key their dropout collections through this.
+    """
+    if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    data = data.ravel()
+    return jax.random.wrap_key_data(
+        jax.numpy.tile(data, 4)[:4], impl="rbg")

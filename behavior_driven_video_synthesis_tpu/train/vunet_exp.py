@@ -27,6 +27,7 @@ import optax
 from flax import struct
 
 from ..core import schedules
+from ..core.rng import rbg_key
 from .losses import compute_kl_loss, compute_kl_with_prior, vgg_loss
 from .state import ModuleState
 
@@ -122,6 +123,10 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
     # model: every loss term is a per-sample mean and there is no
     # batch-coupled normalization (weight-norm convs only).
     grad_accum = int(tr.get("grad_accum", 1))
+    # "rbg" lowers the dropout-mask bits to the hardware rng-bit-generator;
+    # "threefry" restores the jax default stream (same distribution either
+    # way — see core.rng.rbg_key).
+    dropout_rng = str(tr.get("dropout_rng", "rbg"))
     use_gan = disc_model is not None
     if use_gan:
         from .gan import make_gan_update
@@ -138,6 +143,11 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
         shape_img = batch["stickman"]
         app_img = batch.get("app_img", target)
         k_s, k_d, k_r = jax.random.split(key, 3)
+        if dropout_rng == "rbg":
+            # dropout masks via the hardware rng-bit-generator: the default
+            # threefry chain measured ~30% of the whole cvbae-256 step
+            # (CVBAE_RECONCILE.json; core.rng.rbg_key)
+            k_d = rbg_key(k_d)
 
         def loss_fn(params, app_i, shape_i, target_i, ks, kd):
             out, means, logstds, ps, _ = vunet.apply(
@@ -239,6 +249,7 @@ def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
     ll_weight = float(tr.get("ll_weight", 1.0))
     vgg_weights = list(tr.get("vgg_weights", [1.0] * 6))
     grad_accum = int(tr.get("grad_accum", 1))  # see make_cvbae_train_step
+    dropout_rng = str(tr.get("dropout_rng", "rbg"))
 
     def train_step(state: VunetTrainState, batch, key
                    ) -> Tuple[VunetTrainState, Dict[str, jnp.ndarray]]:
@@ -246,6 +257,8 @@ def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
         target = batch["pose_img"]
         shape_img = batch["stickman"]
         k_s, k_d = jax.random.split(key)
+        if dropout_rng == "rbg":
+            k_d = rbg_key(k_d)  # see cvbae step note
         kl_weight = schedules.kl_ramp(state.step, total_steps)
 
         def loss_fn(params, app_i, shape_i, target_i, ks, kd):

@@ -52,14 +52,15 @@ from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
 )
 
 
-def build(B, S, *, dropout, regressor_on, vgg_dtype, key):
+def build(B, S, *, dropout, regressor_on, vgg_dtype, key,
+          dropout_rng="threefry"):
     config = Config({
         "architecture": {"cvae": False},
         "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
                      "weight_regressor": 4.0,
                      "train_regressor": regressor_on,
                      "gamma_step": 1e-5, "information_max": 1000.0,
-                     "n_init_batches": 4},
+                     "n_init_batches": 4, "dropout_rng": dropout_rng},
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   dropout_prob=dropout, dtype=jnp.bfloat16)
@@ -94,11 +95,12 @@ def build(B, S, *, dropout, regressor_on, vgg_dtype, key):
 
 
 def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
-             donate):
+             donate, dropout_rng="threefry"):
     key = jax.random.PRNGKey(0)
     state, step, batch = build(B, S, dropout=dropout,
                                regressor_on=regressor_on,
-                               vgg_dtype=vgg_dtype, key=key)
+                               vgg_dtype=vgg_dtype, key=key,
+                               dropout_rng=dropout_rng)
 
     def loop(state, batch, k0):
         def body(i, carry):
@@ -129,7 +131,7 @@ def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
            "dropout": dropout, "regressor": regressor_on,
            "features": (vgg_dtype if isinstance(vgg_dtype, str)
                         else vgg_dtype.__name__),
-           "donated": donate}
+           "donated": donate, "dropout_rng": dropout_rng}
     print(json.dumps(row), flush=True)
     return row
 
@@ -171,6 +173,18 @@ def main():
         dict(name="shipped production default (dropout + reg, laplacian)",
              dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
              donate=True),
+        # dropout masks via the hardware rng-bit-generator (the new
+        # training default, training.dropout_rng=rbg): recovers most of
+        # the ~30% the threefry masks cost
+        dict(name="bench_r3 config + rbg dropout",
+             dropout=0.05, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="rbg"),
+        dict(name="reference production + rbg dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="rbg"),
+        dict(name="shipped production default + rbg dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg"),
     ]
     rows = []
     for a in arms:

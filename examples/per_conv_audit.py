@@ -88,11 +88,15 @@ def conv_inventory(fn, *args):
                tuple(p["lhs_dilation"]), tuple(p["rhs_dilation"]),
                int(p["feature_group_count"]))
         if sig not in inv:
-            # FLOPs: 2 * output positions * Cin/fgc * kh * kw (NHWC/HWIO)
+            # FLOPs: 2 * output positions * Cin/fgc * prod(kernel spatial);
+            # read the kernel dims from the conv's own dimension numbers so
+            # the formula holds for dgrad/wgrad layouts too
             dn = p["dimension_numbers"]
             out_shape = tuple(out.shape)
-            kh, kw, cin_g = rhs.shape[0], rhs.shape[1], rhs.shape[2]
-            flops = 2.0 * float(np.prod(out_shape)) * cin_g * kh * kw
+            cin_g = rhs.shape[dn.rhs_spec[1]]
+            k_spatial = float(np.prod([rhs.shape[d]
+                                       for d in dn.rhs_spec[2:]]))
+            flops = 2.0 * float(np.prod(out_shape)) * cin_g * k_spatial
             inv[sig] = {
                 "lhs": list(lhs.shape), "rhs": list(rhs.shape),
                 "out": list(out_shape), "lhs_dtype": str(lhs.dtype),
@@ -201,6 +205,46 @@ def build_synth():
     return vunet, params["vunet"], m_chunked, s_chunked, cs, n_pad // cs
 
 
+def build_cvbae_train():
+    """The bench.py cvbae train step at bench shapes (B=12, 256px):
+    returns (loop_fn_args, fn) where fn is ONE train step (fwd+bwd+adam);
+    the conv inventory of its jaxpr covers forward, input-grad and
+    weight-grad convs."""
+    import optax
+    from behavior_driven_video_synthesis_tpu.core.config import Config
+    from behavior_driven_video_synthesis_tpu.models.perceptual import (
+        PerceptualVGG19,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+        create_vunet_state,
+        make_cvbae_train_step,
+    )
+
+    Bt = int(os.environ.get("BENCH_TRAIN_BATCH", "12"))
+    config = Config({
+        "architecture": {"cvae": False},
+        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                     "train_regressor": False, "gamma_step": 1e-5,
+                     "information_max": 1000.0, "n_init_batches": 4},
+    })
+    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
+                  dropout_prob=0.05, dtype=jnp.bfloat16)
+    vgg = PerceptualVGG19(dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "app_img": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
+        "pose_img": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
+        "stickman": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
+    }
+    vgg_vars = vgg.init(key, batch["pose_img"][:1])
+    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9)}
+    state = create_vunet_state(key, vunet, None, vgg, txs, batch)
+    step = make_cvbae_train_step(vunet, None, vgg, vgg_vars, txs, config)
+    return state, step, batch, Bt
+
+
 SHAPE_RE = re.compile(r"(?:bf16|f32|s8|s32|f16)\[([0-9,]+)\]")
 
 
@@ -231,12 +275,65 @@ def classify_profile(rows, runs):
     return buckets, conv_by_shape, detail
 
 
+def audit_cvbae_train(out_path):
+    """Conv inventory + isolated floor for the cvbae TRAIN step: gives the
+    bench train row its envelope denominator (VERDICT r3 item 2).  Writes
+    {"train_conv_floor": ...} into CVBAE_RECONCILE.json."""
+    state, step, batch, Bt = build_cvbae_train()
+    key = jax.random.PRNGKey(0)
+    inv = conv_inventory(lambda s, b, k: step(s, b, k)[0].vunet.params,
+                         state, batch, key)
+    inv.sort(key=lambda r: -r["flops_each"] * r["count"])
+    total_flops = sum(r["flops_each"] * r["count"] for r in inv)
+    print(f"train: {len(inv)} distinct convs, "
+          f"{sum(r['count'] for r in inv)} total, "
+          f"{total_flops / 1e9:.2f} GFLOP/step", flush=True)
+    floor_s = 0.0
+    for r in inv:
+        dt = time_conv(r)
+        r["isolated_us"] = round(dt * 1e6, 1)
+        r["isolated_tflops"] = round(r["flops_each"] / dt / 1e12, 2)
+        floor_s += dt * r["count"]
+        print(f"  {r['lhs']}x{r['rhs']}->{r['out']} s{r['strides']} "
+              f"ld{r['lhs_dilation']} x{r['count']}: {r['isolated_us']}us "
+              f"{r['isolated_tflops']}TF/s", flush=True)
+        del r["_params"]
+    envelope = total_flops / floor_s / 1e12
+    summary = {
+        "batch": Bt, "spatial": S,
+        "conv_floor_ms_per_step": round(floor_s * 1e3, 2),
+        "conv_flops_per_step_g": round(total_flops / 1e9, 2),
+        "train_envelope_tflops": round(envelope, 2),
+        "note": "floor = sum of isolated best-case XLA conv times over the "
+                "step's full conv inventory (fwd + dgrad + wgrad); the "
+                "envelope is the rate a step that were pure back-to-back "
+                "convs would achieve — bench.py's frac_of_envelope "
+                "denominator for the train row",
+    }
+    print(json.dumps(summary), flush=True)
+    data = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    data["train_conv_floor"] = {"summary": summary, "inventory": inv}
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1)
+    print("wrote", os.path.abspath(out_path))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "SERVING_GAP.json"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--skip-profile", action="store_true")
+    ap.add_argument("--target", choices=["synth", "cvbae_train"],
+                    default="synth")
     args = ap.parse_args()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    if args.target == "cvbae_train":
+        audit_cvbae_train(args.out or os.path.join(root,
+                                                   "CVBAE_RECONCILE.json"))
+        return
+    args.out = args.out or os.path.join(root, "SERVING_GAP.json")
 
     vunet, vp, m_chunked, s_chunked, cs, n_chunks = build_synth()
     print(f"chunk={cs} n_chunks={n_chunks}", flush=True)
