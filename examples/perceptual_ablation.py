@@ -152,7 +152,8 @@ def train_probe(key, size, probe_imgs, probe_kps, steps=2000, batch=32,
 
 
 def run_mode(mode: str, steps: int, size: int, batch: int,
-             gamma_step: float, train_data, test_data, probe_mse) -> dict:
+             gamma_step: float, train_data, test_data, probe_mse,
+             seed: int = 0) -> dict:
     if mode == "l1_only":
         feat, weights = LaplacianPyramidFeatures(), [1.0] + [0.0] * 5
     elif mode == "random_vgg":
@@ -174,7 +175,7 @@ def run_mode(mode: str, steps: int, size: int, batch: int,
 
     vunet = VUNet(spatial_size=size, nf_start=32, nf_max=128,
                   variant="alter", dropout_prob=0.05, dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
     fvars = feat.init(key, jnp.zeros((1, size, size, 3)))
     txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9)}
     b0 = {k: train_data[k][:batch]
@@ -207,7 +208,7 @@ def run_mode(mode: str, steps: int, size: int, batch: int,
                                  (state, jnp.zeros(())))
 
     t0 = time.time()
-    kl = jax.random.fold_in(key, 123)
+    kl = jax.random.fold_in(key, 123)  # seed-dependent data order too
     last_loss = None
     data_args = {k: train_data[k]
                  for k in ("pose_img", "stickman", "app_img")}
@@ -231,7 +232,7 @@ def run_mode(mode: str, steps: int, size: int, batch: int,
                       - np.asarray(pose, np.float32)).mean())
     kp_mse = probe_mse(jnp.asarray(np.asarray(recon, np.float32)),
                        test_data["keypoints"])
-    return {"mode": mode, "ssim": round(val, 4),
+    return {"mode": mode, "seed": seed, "ssim": round(val, 4),
             "keypoint_probe_mse": round(kp_mse, 6),
             "recon_l1": round(l1, 4), "final_loss": round(loss, 3),
             "final_gamma": round(float(state.gamma), 6),
@@ -243,6 +244,10 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="model-init/data-order seed replicates per mode; "
+                         ">=3 gives the error bars VERDICT r3 item 6 asks "
+                         "for at 128px (or run --size 256)")
     ap.add_argument("--gamma_step", type=float, default=1e-5,
                     help="live controller by default (production config); "
                          "0 isolates the likelihood term")
@@ -280,20 +285,35 @@ def main():
     path = args.out or os.path.join(os.path.dirname(__file__), "..",
                                     "PERCEPTUAL_ABLATION.json")
     rows = []
+    agg = {}
     out = {"steps": args.steps, "size": args.size, "batch": args.batch,
-           "gamma_step": args.gamma_step,
+           "gamma_step": args.gamma_step, "n_seeds": args.seeds,
            "platform": jax.devices()[0].platform,
            "probe_mse_on_real": round(real_mse, 6),
            "probe_mse_on_wrong_pose": round(wrong_mse, 6),
-           "results": rows}
+           "results": rows, "aggregate": agg}
     for mode in ("l1_only", "random_vgg", "laplacian"):
-        row = run_mode(mode, args.steps, args.size, args.batch,
-                       args.gamma_step, train_data, test_data, probe_mse)
-        print(json.dumps(row), flush=True)
-        rows.append(row)
-        # incremental write: a relay fault mid-run keeps earlier modes
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+        mode_rows = []
+        for seed in range(args.seeds):
+            row = run_mode(mode, args.steps, args.size, args.batch,
+                           args.gamma_step, train_data, test_data,
+                           probe_mse, seed=seed)
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+            mode_rows.append(row)
+            # incremental write: a relay fault mid-run keeps earlier modes
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+        if len(mode_rows) > 1:
+            agg[mode] = {
+                k: {"mean": round(float(np.mean(
+                        [r[k] for r in mode_rows])), 6),
+                    "std": round(float(np.std(
+                        [r[k] for r in mode_rows])), 6)}
+                for k in ("ssim", "keypoint_probe_mse", "recon_l1")}
+            print(mode, json.dumps(agg[mode]), flush=True)
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
     print("wrote", os.path.abspath(path))
 
 
