@@ -321,17 +321,83 @@ def audit_cvbae_train(out_path):
     print("wrote", os.path.abspath(out_path))
 
 
+def audit_attic_rnb(out_path):
+    """Re-measure the retired packed-matmul fused-RNB Pallas kernel
+    (attic/pallas_rnb.py) at the SERVING batch (chunk=125) — its retirement
+    measurements were at B=8 (VERDICT r3 item 3 asks for the re-check).
+    Compares one full RNB (elu -> 3x3 weight-norm conv -> affine ->
+    residual) per scale: Pallas kernel vs the XLA lowering of the same
+    computation."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "attic"))
+    from pallas_rnb import fused_rnb, rnb_reference
+
+    cs = 125
+    rows = []
+    for (H, C) in ((256, 32), (128, 64), (64, 128)):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(cs, H, H, C) * 0.1, jnp.bfloat16)
+        params = {
+            "v": rng.randn(3, 3, C, C).astype(np.float32) * 0.05,
+            "g": rng.rand(C).astype(np.float32) + 0.5,
+            "bias": rng.randn(C).astype(np.float32) * 0.01,
+            "gamma": rng.rand(C).astype(np.float32) + 0.5,
+            "beta": rng.randn(C).astype(np.float32) * 0.01,
+        }
+        row = {"shape": [cs, H, H, C]}
+        for name, fn in (("pallas", lambda x: fused_rnb(x, params)),
+                         ("xla", lambda x: rnb_reference(
+                             x, params).astype(jnp.bfloat16))):
+            def loop(x):
+                def body(i, carry):
+                    acc, x = carry
+                    y = fn(x)
+                    m = jnp.mean(y.astype(jnp.float32))
+                    return acc + m, (x * (1 + m * 1e-12)).astype(x.dtype)
+                acc, _ = lax.fori_loop(0, 8, body, (jnp.zeros(()), x))
+                return acc
+            try:
+                compiled = jax.jit(loop).lower(x).compile()
+                float(compiled(x))
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(compiled(x))
+                    times.append(time.perf_counter() - t0)
+                row[f"{name}_us"] = round(min(times) / 8 * 1e6, 1)
+            except Exception as e:  # VMEM/layout limits at this batch
+                row[f"{name}_error"] = str(e)[:200]
+        rows.append(row)
+        print(row, flush=True)
+    data = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    data["attic_rnb_at_serving_batch"] = {
+        "chunk": cs, "rows": rows,
+        "note": "retirement re-check at the serving chunk batch "
+                "(VERDICT r3 item 3); kernel stays in attic/ unless "
+                "pallas_us beats xla_us at a scale that matters"}
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1)
+    print("wrote", os.path.abspath(out_path))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-profile", action="store_true")
-    ap.add_argument("--target", choices=["synth", "cvbae_train"],
+    ap.add_argument("--target", choices=["synth", "cvbae_train",
+                                         "attic_rnb"],
                     default="synth")
     args = ap.parse_args()
     root = os.path.join(os.path.dirname(__file__), "..")
     if args.target == "cvbae_train":
         audit_cvbae_train(args.out or os.path.join(root,
                                                    "CVBAE_RECONCILE.json"))
+        return
+    if args.target == "attic_rnb":
+        audit_attic_rnb(args.out or os.path.join(root, "SERVING_GAP.json"))
         return
     args.out = args.out or os.path.join(root, "SERVING_GAP.json")
 
