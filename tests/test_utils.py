@@ -123,3 +123,86 @@ def test_device_op_table_self_time_nesting(tmp_path):
     assert rows["while.1"] == 10  # 80 - 70 of children
     assert "jit_f" not in rows  # module umbrella skipped entirely
     assert sum(rows.values()) == 90  # leaf span only: no double count
+
+
+class TestRbgKey:
+    """core.rng.rbg_key: hardware-rng dropout keys (CVBAE_RECONCILE.json)."""
+
+    def test_wraps_raw_and_typed_keys(self):
+        import jax
+        from behavior_driven_video_synthesis_tpu.core.rng import rbg_key
+
+        for k in (jax.random.PRNGKey(0), jax.random.key(0)):
+            rk = rbg_key(k)
+            assert jax.dtypes.issubdtype(rk.dtype, jax.dtypes.prng_key)
+            assert "rbg" in str(rk.dtype)
+            # usable: bernoulli + fold_in (what flax Dropout needs)
+            m = jax.random.bernoulli(jax.random.fold_in(rk, 3), 0.5, (64,))
+            assert m.shape == (64,)
+
+    def test_mask_rate_sane(self):
+        import jax
+        import jax.numpy as jnp
+        from behavior_driven_video_synthesis_tpu.core.rng import rbg_key
+
+        rk = rbg_key(jax.random.PRNGKey(7))
+        m = jax.random.bernoulli(rk, 0.05, (200_000,))
+        rate = float(jnp.mean(m.astype(jnp.float32)))
+        assert 0.045 < rate < 0.055
+
+    def test_distinct_keys_give_distinct_masks(self):
+        import jax
+        import jax.numpy as jnp
+        from behavior_driven_video_synthesis_tpu.core.rng import rbg_key
+
+        a = jax.random.bernoulli(rbg_key(jax.random.PRNGKey(1)), 0.5, (4096,))
+        b = jax.random.bernoulli(rbg_key(jax.random.PRNGKey(2)), 0.5, (4096,))
+        assert bool(jnp.any(a != b))
+
+    def test_dropout_rng_threefry_matches_old_stream(self):
+        """training.dropout_rng=threefry restores the pre-round-4 stream:
+        the step's loss must equal the rbg arm's only in expectation, but
+        the threefry arm must be deterministic across calls."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+        from behavior_driven_video_synthesis_tpu.core.config import Config
+        from behavior_driven_video_synthesis_tpu.models.perceptual import (
+            LaplacianPyramidFeatures,
+        )
+        from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+        from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+            create_vunet_state,
+            make_cvbae_train_step,
+        )
+
+        rng = np.random.RandomState(0)
+        batch = {k: jnp.asarray(rng.rand(2, 16, 16, 3) * 2 - 1, jnp.float32)
+                 for k in ("app_img", "pose_img", "stickman")}
+        vunet = VUNet(spatial_size=16, nf_start=4, nf_max=8,
+                      variant="alter", dropout_prob=0.25)
+        feat = LaplacianPyramidFeatures()
+        key = jax.random.PRNGKey(0)
+        fvars = feat.init(key, batch["pose_img"][:1])
+        txs = {"vunet": optax.adam(1e-4)}
+        losses = {}
+        for mode in ("rbg", "threefry"):
+            config = Config({
+                "architecture": {"cvae": False},
+                "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                             "train_regressor": False, "gamma_step": 0.0,
+                             "information_max": 1.0, "n_init_batches": 1,
+                             "dropout_rng": mode},
+            })
+            state = create_vunet_state(key, vunet, None, feat, txs, batch)
+            step = jax.jit(make_cvbae_train_step(vunet, None, feat, fvars,
+                                                 txs, config))
+            _, m1 = step(state, batch, jax.random.PRNGKey(5))
+            _, m2 = step(state, batch, jax.random.PRNGKey(5))
+            assert float(m1["loss"]) == float(m2["loss"])  # deterministic
+            losses[mode] = float(m1["loss"])
+        # different streams -> (almost surely) different masks, but both
+        # finite and the same order of magnitude
+        assert np.isfinite(losses["rbg"]) and np.isfinite(losses["threefry"])
+        assert losses["rbg"] != losses["threefry"]
