@@ -92,6 +92,7 @@ class EncUp(nn.Module):
     nf_max: int
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
+    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -105,6 +106,7 @@ class EncUp(nn.Module):
             for _ in range(2):
                 h = rnb(channels=nf, conv_layer=self.conv_layer,
                         dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                         dtype=self.dtype)(h, None, train)
                 hs.append(h)
             if i + 1 < self.n_scales:
@@ -123,6 +125,7 @@ class EncDown(nn.Module):
     variant: str = "org"  # "org": fixed std 1 | "alter": learned logstd
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
+    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
     upsample_transpose: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -139,6 +142,7 @@ class EncDown(nn.Module):
             h = rnb(channels=nf, residual=True,
                     conv_layer=self.conv_layer,
                     dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                     dtype=self.dtype)(h, gs.pop(), train)
             hs.append(h)
 
@@ -161,6 +165,7 @@ class EncDown(nn.Module):
             h = rnb(channels=nf, residual=True,
                     conv_layer=self.conv_layer,
                     dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                     dtype=self.dtype)(h, gz, train)
             hs.append(h)
 
@@ -171,6 +176,7 @@ class EncDown(nn.Module):
 
         h = rnb(channels=nf, residual=True, conv_layer=self.conv_layer,
                 dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                 dtype=self.dtype)(h, gs.pop(), train)
         hs.append(h)
         return hs, means, logstds, zs
@@ -190,6 +196,7 @@ class DecDown(nn.Module):
     variant: str = "org"  # "org": 4-group AR prior | "alter": plain injection
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
+    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
     upsample_transpose: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -217,6 +224,7 @@ class DecDown(nn.Module):
             h = rnb(channels=nf, residual=True,
                     conv_layer=self.conv_layer,
                     dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                     dtype=self.dtype)(h, gs.pop(), train)
             hs.append(h)
 
@@ -230,6 +238,7 @@ class DecDown(nn.Module):
                     h = rnb(channels=nf, residual=True,
                             conv_layer=self.conv_layer,
                             dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                             dtype=self.dtype)(h, z, train)
                 else:
                     h, p, z_prior = self._autoregressive_scale(
@@ -240,6 +249,7 @@ class DecDown(nn.Module):
             h = rnb(channels=nf, residual=True,
                     conv_layer=self.conv_layer,
                     dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                     dtype=self.dtype)(h, gs.pop(), train)
             hs.append(h)
 
@@ -275,6 +285,7 @@ class DecDown(nn.Module):
                                       axis=-1)
         pre = rnb(channels=nf, conv_layer=self.conv_layer,
                   dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                   dtype=self.dtype)(h, None, train)
         p_features = space_to_depth(pre, 2)
 
@@ -292,6 +303,7 @@ class DecDown(nn.Module):
                 p_features = rnb(channels=4 * nf, residual=True,
                                  conv_layer=self.conv_layer,
                                  dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
                                  dtype=self.dtype)(
                     p_features, feedback, train)
 
@@ -335,6 +347,7 @@ class VUNet(nn.Module):
     conv_layer_type: str = "l1"
     variant: str = "alter"  # "org" | "alter"
     dropout_prob: float = 0.0
+    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
     quant: str = "none"  # "int8": dynamically-quantized serving convs
     quant_max_hw: int = 0  # skip quant for convs with input H above this
     # Fuse subpixel upsamples into transposed convs (same params/numerics,
@@ -381,7 +394,8 @@ class VUNet(nn.Module):
         self.eu = enc_up_cls(
             n_scales=self.n_scales_x, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer,
-            dropout_prob=self.dropout_prob, remat=rnb_remat,
+            dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl, remat=rnb_remat,
             dtype=self.dtype,
         )
         if self.upsample_transpose:
@@ -391,13 +405,15 @@ class VUNet(nn.Module):
             nf=self.nf_max, n_latent_scales=self.n_latent_scales,
             variant=self.variant, conv_layer=conv_layer,
             dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
             upsample_transpose=self.upsample_transpose, remat=rnb_remat,
             dtype=self.dtype,
         )
         self.du = enc_up_cls(
             n_scales=self.n_scales, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer_pf,
-            dropout_prob=self.dropout_prob, remat=rnb_remat,
+            dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl, remat=rnb_remat,
             dtype=self.dtype,
         )
         self.dd = dec_down_cls(
@@ -407,6 +423,7 @@ class VUNet(nn.Module):
             subpixel_upsampling=self.subpixel_upsampling,
             variant=self.variant, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob,
+                    dropout_impl=self.dropout_impl,
             upsample_transpose=self.upsample_transpose, remat=rnb_remat,
             dtype=self.dtype,
         )
@@ -482,6 +499,7 @@ def vunet_from_config(config, variant: str,
         conv_layer_type=str(arch.get("conv_layer_type", "l1")),
         variant=variant,
         dropout_prob=float(training.get("dropout_prob", 0.0)),
+        dropout_impl=str(training.get("dropout_impl", "packed")),
         # False | "subnet" | "rnb" (YAML true -> per-RNB, kept for ablation)
         remat=training.get("remat", False) or False,
         dtype=jnp.bfloat16 if bool(training.get("bf16", True))

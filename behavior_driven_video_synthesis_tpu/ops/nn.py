@@ -433,6 +433,52 @@ class Upsample(nn.Module):
         return jax.image.resize(y, (n, 2 * h, 2 * w, c), method="bilinear")
 
 
+def packed_dropout(key, rate: float, x, bits: int = 8):
+    """Dropout from PACKED random bits: `bits` random bits per element
+    instead of the 32 that `jax.random.bernoulli` materializes.
+
+    The rng tensor an elementwise dropout writes+reads to HBM is the cost
+    that survives switching the PRNG to the hardware rng-bit-generator
+    (CVBAE_RECONCILE.json: threefry 92.7 -> rbg 101.8 -> no-dropout 130.5
+    img/s): 4 bytes/element of mask bits against bf16 activations of 2
+    bytes/element.  Packing 8 bits/element cuts that traffic 4x.
+
+    The keep threshold is quantized to K/2^bits (K = round((1-rate)*2^bits))
+    and the survivors are scaled by the ACTUAL keep probability 2^bits/K,
+    so E[out] == E[x] exactly; the realized drop rate differs from `rate`
+    by <= 2^-(bits+1) (0.05 -> 13/256 = 0.0508 at bits=8).
+    """
+    if rate <= 0.0:
+        return x
+    assert bits in (8, 16)
+    per = 32 // bits
+    mx = 1 << bits
+    k_keep = max(1, min(mx - 1, round((1.0 - rate) * mx)))
+    scale = mx / k_keep
+    n = x.size
+    n32 = -(-n // per)
+    raw = jax.random.bits(key, (n32,), jnp.uint32)
+    shifts = (jnp.arange(per, dtype=jnp.uint32) * jnp.uint32(bits))[None, :]
+    sub = (raw[:, None] >> shifts) & jnp.uint32(mx - 1)
+    mask = (sub.reshape(-1)[:n] < k_keep).reshape(x.shape)
+    return jnp.where(mask, x * jnp.asarray(scale, x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
+class PackedDropout(nn.Module):
+    """flax wrapper over :func:`packed_dropout` (rng collection
+    "dropout"), drop-in for nn.Dropout in the RNB elementwise chain."""
+
+    rate: float
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate <= 0.0:
+            return x
+        return packed_dropout(self.make_rng("dropout"), self.rate, x)
+
+
 class VunetRNB(nn.Module):
     """Pre-activation residual block, optionally fusing an auxiliary input.
 
@@ -448,8 +494,17 @@ class VunetRNB(nn.Module):
     activate: bool = True
     conv_layer: Callable = NormConv2d
     dropout_prob: float = 0.0
+    # "packed": 8-bit packed-bit masks (see packed_dropout — 4x less mask
+    # traffic, realized rate quantized to 1/256); "flax": nn.Dropout
+    dropout_impl: str = "packed"
     act_fn: Optional[Callable] = None  # override (ref passes LeakyReLU)
     dtype: Dtype = jnp.float32
+
+    def _make_dropout(self, train: bool):
+        if self.dropout_impl == "packed":
+            return PackedDropout(self.dropout_prob,
+                                 deterministic=not train)
+        return nn.Dropout(self.dropout_prob, deterministic=not train)
 
     @nn.compact
     def __call__(self, x, a=None, train: bool = False):
@@ -478,8 +533,7 @@ class VunetRNB(nn.Module):
             conv = make_main_conv()
             hx, ha = act(x), act(a)
             if self.dropout_prob > 0.0:
-                drop = nn.Dropout(self.dropout_prob,
-                                  deterministic=not train)
+                drop = self._make_dropout(train)
                 hx, ha = drop(hx), drop(ha)
             if isinstance(conv, NormConv2d):
                 # conv(concat(hx, ha)) computed as two convs on the sliced
@@ -490,7 +544,7 @@ class VunetRNB(nn.Module):
             return x + h
         h = act(x)
         if self.dropout_prob > 0.0:
-            h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+            h = self._make_dropout(train)(h)
         return x + make_main_conv()(h)
 
 

@@ -53,7 +53,7 @@ from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
 
 
 def build(B, S, *, dropout, regressor_on, vgg_dtype, key,
-          dropout_rng="threefry"):
+          dropout_rng="threefry", dropout_impl="flax"):
     config = Config({
         "architecture": {"cvae": False},
         "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
@@ -63,7 +63,8 @@ def build(B, S, *, dropout, regressor_on, vgg_dtype, key,
                      "n_init_batches": 4, "dropout_rng": dropout_rng},
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dropout_prob=dropout, dtype=jnp.bfloat16)
+                  dropout_prob=dropout, dropout_impl=dropout_impl,
+                  dtype=jnp.bfloat16)
     if vgg_dtype == "laplacian":
         vgg = LaplacianPyramidFeatures()
     else:
@@ -95,12 +96,13 @@ def build(B, S, *, dropout, regressor_on, vgg_dtype, key,
 
 
 def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
-             donate, dropout_rng="threefry"):
+             donate, dropout_rng="threefry", dropout_impl="flax"):
     key = jax.random.PRNGKey(0)
     state, step, batch = build(B, S, dropout=dropout,
                                regressor_on=regressor_on,
                                vgg_dtype=vgg_dtype, key=key,
-                               dropout_rng=dropout_rng)
+                               dropout_rng=dropout_rng,
+                               dropout_impl=dropout_impl)
 
     def loop(state, batch, k0):
         def body(i, carry):
@@ -131,7 +133,8 @@ def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
            "dropout": dropout, "regressor": regressor_on,
            "features": (vgg_dtype if isinstance(vgg_dtype, str)
                         else vgg_dtype.__name__),
-           "donated": donate, "dropout_rng": dropout_rng}
+           "donated": donate, "dropout_rng": dropout_rng,
+           "dropout_impl": dropout_impl}
     print(json.dumps(row), flush=True)
     return row
 
@@ -185,6 +188,17 @@ def main():
         dict(name="shipped production default + rbg dropout",
              dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
              donate=True, dropout_rng="rbg"),
+        # + packed 8-bit masks (ops.nn.packed_dropout, the model default):
+        # 1 byte of mask bits per element instead of bernoulli's 4
+        dict(name="bench_r3 config + rbg + packed dropout",
+             dropout=0.05, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="rbg", dropout_impl="packed"),
+        dict(name="reference production + rbg + packed dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="rbg", dropout_impl="packed"),
+        dict(name="shipped production default + rbg + packed dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg", dropout_impl="packed"),
     ]
     rows = []
     for a in arms:

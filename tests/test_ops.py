@@ -294,3 +294,54 @@ class TestSubpixelTranspose:
         # activations reach ~1e3, so scale the tolerance to the output
         tol = 1e-5 * float(np.abs(outs[0]).max())
         np.testing.assert_allclose(outs[1], outs[0], atol=tol, rtol=1e-4)
+
+
+class TestPackedDropout:
+    """ops.nn.packed_dropout: packed-bit masks with unbiased scaling."""
+
+    def test_keep_rate_and_unbiasedness(self):
+        import jax
+        import jax.numpy as jnp
+        from behavior_driven_video_synthesis_tpu.ops.nn import packed_dropout
+
+        x = jnp.ones((301, 277))
+        for bits in (8, 16):
+            mx = 1 << bits
+            k_keep = round(0.95 * mx)
+            y = packed_dropout(jax.random.PRNGKey(0), 0.05, x, bits=bits)
+            kept = float(jnp.mean((y > 0).astype(jnp.float32)))
+            assert abs(kept - k_keep / mx) < 0.01
+            # survivors scaled by the ACTUAL keep prob -> E[y] == E[x]
+            assert abs(float(jnp.mean(y)) - 1.0) < 0.02
+
+    def test_zero_rate_identity_and_grads(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from behavior_driven_video_synthesis_tpu.ops.nn import packed_dropout
+
+        x = jnp.arange(24.0).reshape(4, 6)
+        assert packed_dropout(jax.random.PRNGKey(0), 0.0, x) is x
+        g = jax.grad(lambda v: jnp.sum(
+            packed_dropout(jax.random.PRNGKey(1), 0.5, v)))(jnp.ones((997,)))
+        vals = set(np.unique(np.asarray(g)).tolist())
+        assert vals <= {0.0, 2.0}  # 1/keep for keep=128/256
+
+    def test_rnb_dropout_impl_param_compatible(self):
+        """packed vs flax dropout produce the SAME param tree (the impl only
+        changes the mask stream), so the knob is safe on any checkpoint."""
+        import jax
+        import jax.numpy as jnp
+        from behavior_driven_video_synthesis_tpu.ops.nn import VunetRNB
+
+        x = jnp.ones((2, 8, 8, 4))
+        trees = []
+        for impl in ("packed", "flax"):
+            rnb = VunetRNB(channels=4, dropout_prob=0.3, dropout_impl=impl)
+            v = rnb.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, x, train=True)
+            trees.append(jax.tree_util.tree_structure(v["params"]))
+            y = rnb.apply(v, x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+            assert y.shape == x.shape
+        assert trees[0] == trees[1]
