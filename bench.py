@@ -49,6 +49,17 @@ CONV_ENVELOPE_NOTE = ("FLOP-weighted XLA conv envelope over the du+dd "
                       "scale mix (measured 9.5/44/73 TF/s at 256^2xC32/"
                       "128^2xC64/64^2xC128, ROADMAP item 3)")
 
+# Train-step conv envelope: total conv FLOPs of the cvbae step (fwd +
+# dgrad + wgrad, B=12/256px) divided by the sum of each conv's isolated
+# best-case XLA time at identical shape — measured by
+# `examples/per_conv_audit.py --target cvbae_train`
+# (CVBAE_RECONCILE.json "train_conv_floor").  None until measured on the
+# current chip; the audit prints the value to paste here.
+CVBAE_TRAIN_ENVELOPE_TFLOPS = None
+CVBAE_TRAIN_ENVELOPE_NOTE = (
+    "XLA conv floor over the train step's full conv inventory "
+    "(per_conv_audit --target cvbae_train, CVBAE_RECONCILE.json)")
+
 # Dense bf16 peak FLOP/s by TPU generation (public spec sheets; v5e =
 # "v5 litepod" device_kind "TPU v5 lite").  Used only for the MFU column.
 _BF16_PEAK_TFLOPS = {
@@ -311,11 +322,19 @@ def bench_cvbae_train():
         "metric": f"cvbae_{S}px_train_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        # reference trains this for 150k iters x bs12; normalize against
-        # the serving north-star is meaningless here, so report the ratio
-        # to the round-2 ad-hoc measurement (110.7 img/s at B=12)
+        # anchor: the round-2 profile_train.py measurement (110.7 img/s at
+        # B=12).  CVBAE_RECONCILE.json reconciles the r3 regression: the
+        # anchor harness ran dropout OFF while this row runs the reference
+        # production dropout_prob=0.05, whose threefry masks cost ~30% of
+        # the step; round 4 ships dropout_rng=rbg + packed 8-bit masks
+        # (ops.nn.packed_dropout) to win that cost back.
         "vs_baseline": round(ips / 110.7, 4),
-        **_mfu_fields(_loop_flops(compiled, n_iters), dt),
+        "baseline_note": "ratio to the round-2 profile_train sweep "
+                         "(110.7 img/s, B=12, dropout off); config map in "
+                         "CVBAE_RECONCILE.json",
+        **_mfu_fields(_loop_flops(compiled, n_iters), dt,
+                      envelope_tflops=CVBAE_TRAIN_ENVELOPE_TFLOPS,
+                      envelope_note=CVBAE_TRAIN_ENVELOPE_NOTE),
     }
 
 
