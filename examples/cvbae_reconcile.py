@@ -146,6 +146,9 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "CVBAE_RECONCILE.json"))
+    ap.add_argument("--only", default=None,
+                    help="substring filter on arm names; merges results "
+                         "into an existing --out by arm name")
     args = ap.parse_args()
     B, S, n = args.batch, args.spatial, args.steps
 
@@ -203,12 +206,22 @@ def main():
     rows = []
     for a in arms:
         nm = a.pop("name")
+        if args.only and args.only not in nm:
+            continue
         rows.append(time_arm(nm, B, S, n, **a))
 
-    out = {"batch": B, "spatial": S, "steps_per_timing": n,
-           "device": jax.devices()[0].device_kind, "arms": rows,
-           "note": "one-process A/B to reconcile BENCH_r03 92.75 donated "
-                   "vs the round-2 110.7 anchor (VERDICT r3 weak #2)"}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+        by_name = {r["arm"]: r for r in rows}
+        out["arms"] = [by_name.pop(r["arm"], r) for r in out["arms"]]
+        out["arms"] += list(by_name.values())
+    else:
+        out = {"batch": B, "spatial": S, "steps_per_timing": n,
+               "device": jax.devices()[0].device_kind, "arms": rows,
+               "note": "one-process A/B to reconcile BENCH_r03 92.75 "
+                       "donated vs the round-2 110.7 anchor (VERDICT r3 "
+                       "weak #2)"}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {os.path.abspath(args.out)}")
