@@ -92,7 +92,7 @@ class EncUp(nn.Module):
     nf_max: int
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
-    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
+    dropout_impl: str = "flax"  # "packed" opt-in; see ops.nn.packed_dropout
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -125,7 +125,7 @@ class EncDown(nn.Module):
     variant: str = "org"  # "org": fixed std 1 | "alter": learned logstd
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
-    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
+    dropout_impl: str = "flax"  # "packed" opt-in; see ops.nn.packed_dropout
     upsample_transpose: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -196,7 +196,7 @@ class DecDown(nn.Module):
     variant: str = "org"  # "org": 4-group AR prior | "alter": plain injection
     conv_layer: Any = NormConv2d
     dropout_prob: float = 0.0
-    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
+    dropout_impl: str = "flax"  # "packed" opt-in; see ops.nn.packed_dropout
     upsample_transpose: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -347,7 +347,7 @@ class VUNet(nn.Module):
     conv_layer_type: str = "l1"
     variant: str = "alter"  # "org" | "alter"
     dropout_prob: float = 0.0
-    dropout_impl: str = "packed"  # see ops.nn.packed_dropout
+    dropout_impl: str = "flax"  # "packed" opt-in; see ops.nn.packed_dropout
     quant: str = "none"  # "int8": dynamically-quantized serving convs
     quant_max_hw: int = 0  # skip quant for convs with input H above this
     # Fuse subpixel upsamples into transposed convs (same params/numerics,
@@ -499,7 +499,7 @@ def vunet_from_config(config, variant: str,
         conv_layer_type=str(arch.get("conv_layer_type", "l1")),
         variant=variant,
         dropout_prob=float(training.get("dropout_prob", 0.0)),
-        dropout_impl=str(training.get("dropout_impl", "packed")),
+        dropout_impl=str(training.get("dropout_impl", "flax")),
         # False | "subnet" | "rnb" (YAML true -> per-RNB, kept for ablation)
         remat=training.get("remat", False) or False,
         dtype=jnp.bfloat16 if bool(training.get("bf16", True))

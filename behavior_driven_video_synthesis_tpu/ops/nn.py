@@ -454,6 +454,15 @@ def packed_dropout(key, rate: float, x, bits: int = 8):
     a 4-lane padded intermediate and a relayout copy (measured SLOWER
     than the 32-bit mask it was replacing).  Falls back to plain 32-bit
     masks when the sublane axis doesn't divide.
+
+    OUTCOME (measured, chip, B=12/256px cvbae step, CVBAE_RECONCILE.json):
+    even with the sublane-axis unpack this is ~2-3% SLOWER end-to-end
+    than plain nn.Dropout under rbg keys (99.7 vs 101.6 img/s bench
+    config; 94.8 vs 97.3 production config) — XLA already fuses the
+    32-bit mask chain into the surrounding elementwise ops, so the 4x
+    bit-traffic saving never materializes as HBM time while the unpack
+    adds VPU work.  Kept as an opt-in (`training.dropout_impl: packed`)
+    experiment; the VUNet default is "flax".
     """
     if rate <= 0.0:
         return x
@@ -504,9 +513,10 @@ class VunetRNB(nn.Module):
     activate: bool = True
     conv_layer: Callable = NormConv2d
     dropout_prob: float = 0.0
-    # "packed": 8-bit packed-bit masks (see packed_dropout — 4x less mask
-    # traffic, realized rate quantized to 1/256); "flax": nn.Dropout
-    dropout_impl: str = "packed"
+    # "flax": nn.Dropout (default); "packed": 8-bit packed-bit masks
+    # (see packed_dropout) — measured ~2-3% SLOWER e2e than flax under
+    # rbg keys (CVBAE_RECONCILE.json), kept as an opt-in experiment
+    dropout_impl: str = "flax"
     act_fn: Optional[Callable] = None  # override (ref passes LeakyReLU)
     dtype: Dtype = jnp.float32
 

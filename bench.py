@@ -326,8 +326,9 @@ def bench_cvbae_train():
         # B=12).  CVBAE_RECONCILE.json reconciles the r3 regression: the
         # anchor harness ran dropout OFF while this row runs the reference
         # production dropout_prob=0.05, whose threefry masks cost ~30% of
-        # the step; round 4 ships dropout_rng=rbg + packed 8-bit masks
-        # (ops.nn.packed_dropout) to win that cost back.
+        # the step; round 4 ships dropout_rng=rbg to win most of that
+        # back (packed 8-bit masks were tried and measured slower —
+        # CVBAE_RECONCILE.json "decision").
         "vs_baseline": round(ips / 110.7, 4),
         "baseline_note": "ratio to the round-2 profile_train sweep "
                          "(110.7 img/s, B=12, dropout off); config map in "
