@@ -93,18 +93,26 @@ def device_op_table(trace_dir: str, runs: int = 1,
         raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
     data = json.load(gzip.open(paths[-1]))
     pids = {}
+    tids = {}
     for e in data.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = str(e["args"].get("name"))
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e.get("pid"), e.get("tid"))] = str(e["args"].get("name"))
     by_track = defaultdict(list)
     meta: Dict[str, Dict] = {}
     for e in data.get("traceEvents", []):
         if e.get("ph") == "X" and device_substr in pids.get(e.get("pid"),
                                                            ""):
-            # jit_* module umbrellas live on their own track ("XLA Modules")
+            # Module umbrellas live on their own track ("XLA Modules")
             # where no leaf nests under them — self time there would
-            # double-count the whole program span
+            # double-count the whole program span.  Names are "jit_<fn>"
+            # normally but bare module ids (e.g. "5") for donated/named
+            # computations, so filter by the track's thread_name too.
             if e["name"].startswith("jit_"):
+                continue
+            track = tids.get((e.get("pid"), e.get("tid")), "")
+            if "Modules" in track or track == "Steps":
                 continue
             by_track[(e.get("pid"), e.get("tid"))].append(
                 (float(e.get("ts", 0)), float(e.get("dur", 0)), e["name"]))

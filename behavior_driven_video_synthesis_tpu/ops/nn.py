@@ -498,6 +498,66 @@ class PackedDropout(nn.Module):
         return packed_dropout(self.make_rng("dropout"), self.rate, x)
 
 
+def bits_dropout(key, rate: float, x):
+    """Dropout as ONE integer compare on raw 32-bit rng words, with the
+    mask REGENERATED in the backward pass instead of saved.
+
+    Profiling the 256px cvbae train step (B=12, rbg keys) showed flax
+    ``nn.Dropout``'s cost is NOT the rng bits (3.4 ms/step): it is the
+    f32 ``_bernoulli`` chain (u32 -> f32 convert, scale, max, compare:
+    ~10 ms of ``maximum_compare_fusion``) plus ~8.5 ms of relayout
+    copies from carrying the bool mask to the backward pass as a
+    residual.  This variant removes both:
+
+      * keep = ``bits < round((1-rate) * 2^32)`` — a single u32 compare
+        fused straight into the select; no float conversion.  The
+        realized keep probability is exact to 2^-32, and survivors are
+        scaled by its true inverse, so E[out] == E[x].
+      * a ``jax.custom_vjp`` saves only the KEY: the backward pass
+        re-runs the same generator (same key, same shape -> identical
+        bits) and applies the identical mask to the cotangent.  No bool
+        residual, no residual HBM traffic, no relayout copies; with
+        ``core.rng.rbg_key`` keys the regeneration is hardware-rate.
+    """
+    if rate <= 0.0:
+        return x
+    thresh = int(min(2 ** 32 - 1, round((1.0 - rate) * 2 ** 32)))
+    keep = thresh / 2 ** 32
+    scale = 1.0 / keep
+
+    def apply_mask(key, v):
+        m = jax.random.bits(key, v.shape, jnp.uint32) < jnp.uint32(thresh)
+        return jnp.where(m, v * jnp.asarray(scale, v.dtype),
+                         jnp.zeros((), v.dtype))
+
+    @jax.custom_vjp
+    def f(x, key):
+        return apply_mask(key, x)
+
+    def fwd(x, key):
+        return apply_mask(key, x), key
+
+    def bwd(key, ct):
+        return apply_mask(key, ct), None
+
+    f.defvjp(fwd, bwd)
+    return f(x, key)
+
+
+class BitsDropout(nn.Module):
+    """flax wrapper over :func:`bits_dropout` (rng collection "dropout"),
+    drop-in for nn.Dropout in the RNB elementwise chain."""
+
+    rate: float
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate <= 0.0:
+            return x
+        return bits_dropout(self.make_rng("dropout"), self.rate, x)
+
+
 class VunetRNB(nn.Module):
     """Pre-activation residual block, optionally fusing an auxiliary input.
 
@@ -524,6 +584,9 @@ class VunetRNB(nn.Module):
         if self.dropout_impl == "packed":
             return PackedDropout(self.dropout_prob,
                                  deterministic=not train)
+        if self.dropout_impl == "bits":
+            return BitsDropout(self.dropout_prob,
+                               deterministic=not train)
         return nn.Dropout(self.dropout_prob, deterministic=not train)
 
     @nn.compact

@@ -202,6 +202,31 @@ def main():
         dict(name="shipped production default + rbg + packed dropout",
              dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
              donate=True, dropout_rng="rbg", dropout_impl="packed"),
+        # + u32-threshold masks regenerated in backward
+        # (ops.nn.bits_dropout): kills the f32 _bernoulli chain AND the
+        # bool-mask residual copies the step profiler attributed ~18 of
+        # dropout's 27 ms/step to
+        dict(name="bench_r3 config + rbg + bits dropout",
+             dropout=0.05, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="rbg", dropout_impl="bits"),
+        dict(name="reference production + rbg + bits dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="rbg", dropout_impl="bits"),
+        dict(name="shipped production default + rbg + bits dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg", dropout_impl="bits"),
+        # u32-threshold masks from the THREEFRY stream: rbg's
+        # RngBitGenerator is a standalone HLO op that cannot live inside
+        # a fusion, so every rbg mask costs a full-tensor pass; the
+        # threefry chain is plain elementwise ALU that XLA can fuse into
+        # the producer conv's epilogue — if it does, the mask becomes
+        # ALU-only and the extra HBM pass disappears
+        dict(name="bench_r3 config + threefry bits dropout",
+             dropout=0.05, regressor_on=False, vgg_dtype=jnp.bfloat16,
+             donate=True, dropout_rng="threefry", dropout_impl="bits"),
+        dict(name="shipped production default + threefry bits dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="threefry", dropout_impl="bits"),
     ]
     rows = []
     for a in arms:

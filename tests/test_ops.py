@@ -345,3 +345,72 @@ class TestPackedDropout:
                           rngs={"dropout": jax.random.PRNGKey(2)})
             assert y.shape == x.shape
         assert trees[0] == trees[1]
+
+
+class TestBitsDropout:
+    """ops.nn.bits_dropout: u32-threshold masks, backward regenerates."""
+
+    def test_keep_rate_and_unbiasedness(self):
+        import jax
+        import jax.numpy as jnp
+        from behavior_driven_video_synthesis_tpu.ops.nn import bits_dropout
+
+        x = jnp.ones((301, 277))
+        y = bits_dropout(jax.random.PRNGKey(0), 0.05, x)
+        kept = float(jnp.mean((y > 0).astype(jnp.float32)))
+        assert abs(kept - 0.95) < 0.01
+        assert abs(float(jnp.mean(y)) - 1.0) < 0.02
+        assert bits_dropout(jax.random.PRNGKey(0), 0.0, x) is x
+
+    def test_backward_mask_matches_forward(self):
+        """The custom VJP regenerates the SAME mask for the cotangent:
+        grad of sum(dropout(x)) must equal the forward keep pattern
+        scaled by 1/keep — exactly what saving the mask would give."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from behavior_driven_video_synthesis_tpu.ops.nn import bits_dropout
+
+        key = jax.random.PRNGKey(7)
+        x = jnp.ones((513, 129))
+        f = lambda v: bits_dropout(key, 0.25, v)
+        y = f(x)
+        g = jax.grad(lambda v: jnp.sum(f(v)))(x)
+        # positions kept in forward (y > 0) carry grad scale; dropped = 0
+        np.testing.assert_allclose(np.asarray(g), np.asarray(y),
+                                   rtol=1e-6)
+
+    def test_value_matches_plain_autodiff_version(self):
+        """The custom-vjp forward equals the plain (non-custom) masked
+        computation with the same key, under jit."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from behavior_driven_video_synthesis_tpu.ops.nn import bits_dropout
+
+        key = jax.random.PRNGKey(3)
+        rate = 0.1
+        thresh = round((1 - rate) * 2 ** 32)
+        scale = 2 ** 32 / thresh
+        x = jnp.asarray(np.random.RandomState(0).randn(64, 33), jnp.float32)
+        y = jax.jit(lambda v: bits_dropout(key, rate, v))(x)
+        m = jax.random.bits(key, x.shape, jnp.uint32) < jnp.uint32(thresh)
+        ref = jnp.where(m, x * scale, 0.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-6)
+
+    def test_rnb_bits_impl_param_compatible(self):
+        import jax
+        import jax.numpy as jnp
+        from behavior_driven_video_synthesis_tpu.ops.nn import VunetRNB
+
+        x = jnp.ones((2, 8, 8, 4))
+        trees = []
+        for impl in ("bits", "flax"):
+            rnb = VunetRNB(channels=4, dropout_prob=0.3, dropout_impl=impl)
+            v = rnb.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, x, train=True)
+            trees.append(jax.tree_util.tree_structure(v["params"]))
+            y = rnb.apply(v, x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+            assert y.shape == x.shape
+        assert trees[0] == trees[1]
