@@ -271,15 +271,27 @@ def bench_cvbae_train():
 
     B = int(os.environ.get("BENCH_BATCH", "12"))
     S = int(os.environ.get("BENCH_SPATIAL", "256"))
+    # Measure the SHIPPED production default (configs/shape_and_pose_net.
+    # yaml): dropout 0.05 + trained regressor + laplacian perceptual +
+    # rbg dropout keys.  BENCH_CVBAE_VGG=1 restores the r3-era row config
+    # (bf16 random-VGG, no regressor) for cross-round comparison; the
+    # full config<->rate map lives in CVBAE_RECONCILE.json.
+    use_vgg = os.environ.get("BENCH_CVBAE_VGG", "0") == "1"
     config = Config({
         "architecture": {"cvae": False},
         "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
-                     "train_regressor": False, "gamma_step": 1e-5,
+                     "train_regressor": not use_vgg, "gamma_step": 1e-5,
                      "information_max": 1000.0, "n_init_batches": 4},
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   dropout_prob=0.05, dtype=jnp.bfloat16)
-    vgg = PerceptualVGG19(dtype=jnp.bfloat16)
+    if use_vgg:
+        vgg = PerceptualVGG19(dtype=jnp.bfloat16)
+    else:
+        from behavior_driven_video_synthesis_tpu.models.perceptual import (
+            LaplacianPyramidFeatures,
+        )
+        vgg = LaplacianPyramidFeatures()
     key = jax.random.PRNGKey(0)
     batch = {
         "pose_img": jax.random.normal(key, (B, S, S, 3)) * 0.5,
@@ -287,10 +299,27 @@ def bench_cvbae_train():
                                       (B, S, S, 3)) * 0.5,
     }
     batch["app_img"] = batch["pose_img"]
+    if not use_vgg:
+        from behavior_driven_video_synthesis_tpu.models.vunet import (
+            VunetRegressor,
+            compute_n_scales,
+        )
+        batch["reg_imgs"] = jax.random.normal(
+            jax.random.fold_in(key, 2), (B, 1, S, S, 3)) * 0.5
+        batch["reg_targets"] = jax.random.normal(
+            jax.random.fold_in(key, 3), (B, 1, 17, 2)) * 0.1
+        bottleneck = S // 2 ** (compute_n_scales(S, 2, 0) - 1)
+        regressor = VunetRegressor(
+            n_out=34,
+            latent_widths=[bottleneck * 2 ** i for i in range(2)])
+    else:
+        regressor = None
     vgg_vars = vgg.init(key, batch["pose_img"])
-    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9)}
-    state = create_vunet_state(key, vunet, None, vgg, txs, batch)
-    step = make_cvbae_train_step(vunet, None, vgg, vgg_vars, txs, config)
+    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9),
+           "regressor": optax.adam(5e-4)}
+    state = create_vunet_state(key, vunet, regressor, vgg, txs, batch)
+    step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
+                                 config)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
 
@@ -327,12 +356,16 @@ def bench_cvbae_train():
         # anchor harness ran dropout OFF while this row runs the reference
         # production dropout_prob=0.05, whose threefry masks cost ~30% of
         # the step; round 4 ships dropout_rng=rbg to win most of that
-        # back (packed 8-bit masks were tried and measured slower —
-        # CVBAE_RECONCILE.json "decision").
+        # back (packed 8-bit masks, u32-threshold masks with backward
+        # regeneration, and threefry-fused masks were all tried and
+        # measured no better — CVBAE_RECONCILE.json "decision").
         "vs_baseline": round(ips / 110.7, 4),
         "baseline_note": "ratio to the round-2 profile_train sweep "
                          "(110.7 img/s, B=12, dropout off); config map in "
                          "CVBAE_RECONCILE.json",
+        "config": ("r3-era row: bf16 random-VGG, no regressor" if use_vgg
+                   else "shipped production default: laplacian perceptual "
+                        "+ trained regressor + dropout 0.05 (rbg keys)"),
         **_mfu_fields(_loop_flops(compiled, n_iters), dt,
                       envelope_tflops=CVBAE_TRAIN_ENVELOPE_TFLOPS,
                       envelope_note=CVBAE_TRAIN_ENVELOPE_NOTE),
