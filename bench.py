@@ -53,9 +53,11 @@ CONV_ENVELOPE_NOTE = ("FLOP-weighted XLA conv envelope over the du+dd "
 # dgrad + wgrad, B=12/256px) divided by the sum of each conv's isolated
 # best-case XLA time at identical shape — measured by
 # `examples/per_conv_audit.py --target cvbae_train`
-# (CVBAE_RECONCILE.json "train_conv_floor").  None until measured on the
-# current chip; the audit prints the value to paste here.
-CVBAE_TRAIN_ENVELOPE_TFLOPS = None
+# (CVBAE_RECONCILE.json "train_conv_floor").  Measured 2026-08-21 on the
+# v5e chip with overhead-cancelling two-point timing: conv floor
+# 84.6 ms/step over 414 convs (1790.6 GFLOP) at the shipped production
+# default config -> 21.17 TF/s.
+CVBAE_TRAIN_ENVELOPE_TFLOPS = 21.17
 CVBAE_TRAIN_ENVELOPE_NOTE = (
     "XLA conv floor over the train step's full conv inventory "
     "(per_conv_audit --target cvbae_train, CVBAE_RECONCILE.json)")

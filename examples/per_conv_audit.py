@@ -115,38 +115,57 @@ def conv_inventory(fn, *args):
 
 # ---------------------------------------------------------------- timing
 
-def time_conv(row, n_iters=20):
-    """Feedback-loop min-of-3 timing of one isolated conv."""
+def time_conv(row, target_s=0.08):
+    """Two-point feedback-loop timing of one isolated conv.
+
+    A single dispatch through the relay carries ~20-30 ms of constant
+    overhead; dividing one dispatch by a fixed small n_iters buries
+    sub-millisecond convs under ~1.3 ms of amortized overhead each (the
+    first audit run summed that to a 639 ms "floor" for a 109 ms step).
+    Instead time the SAME conv at two trip counts n1 < n2 (scaled so the
+    n2 run does ~target_s of real device work) and report
+    (t2 - t1) / (n2 - n1): the constant dispatch+fetch overhead cancels
+    exactly."""
     p = row["_params"]
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*row["lhs"]) * 0.1, row["lhs_dtype"])
     w = jnp.asarray(rng.randn(*row["rhs"]) * 0.1, row["lhs_dtype"])
 
-    def loop(x, w):
-        def body(i, carry):
-            acc, x = carry
-            y = lax.conv_general_dilated(
-                x, w, p["window_strides"], p["padding"],
-                lhs_dilation=p["lhs_dilation"],
-                rhs_dilation=p["rhs_dilation"],
-                dimension_numbers=p["dimension_numbers"],
-                feature_group_count=p["feature_group_count"],
-                precision=p["precision"],
-                preferred_element_type=p["preferred_element_type"])
-            m = jnp.mean(y.astype(jnp.float32))
-            # feed the output back into the input so XLA cannot hoist
-            return acc + m, x * (1 + m * 1e-12).astype(x.dtype)
-        acc, _ = lax.fori_loop(0, n_iters, body, (jnp.zeros(()), x))
-        return acc
+    def make_loop(n_iters):
+        def loop(x, w):
+            def body(i, carry):
+                acc, x = carry
+                y = lax.conv_general_dilated(
+                    x, w, p["window_strides"], p["padding"],
+                    lhs_dilation=p["lhs_dilation"],
+                    rhs_dilation=p["rhs_dilation"],
+                    dimension_numbers=p["dimension_numbers"],
+                    feature_group_count=p["feature_group_count"],
+                    precision=p["precision"],
+                    preferred_element_type=p["preferred_element_type"])
+                m = jnp.mean(y.astype(jnp.float32))
+                # feed the output back into the input so XLA cannot hoist
+                return acc + m, x * (1 + m * 1e-12).astype(x.dtype)
+            acc, _ = lax.fori_loop(0, n_iters, body, (jnp.zeros(()), x))
+            return acc
+        return loop
 
-    compiled = jax.jit(loop).lower(x, w).compile()
-    float(compiled(x, w))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    est = max(row["flops_each"] / 20e12, 2e-5)   # assume ~20 TF/s
+    n2 = int(min(4000, max(100, round(target_s / est))))
+    n1 = max(10, n2 // 5)
+
+    def measure(n_iters):
+        compiled = jax.jit(make_loop(n_iters)).lower(x, w).compile()
         float(compiled(x, w))
-        times.append(time.perf_counter() - t0)
-    return min(times) / n_iters
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(compiled(x, w))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t1, t2 = measure(n1), measure(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-7)
 
 
 # ---------------------------------------------------------------- stage
@@ -222,15 +241,25 @@ def build_cvbae_train():
     )
 
     Bt = int(os.environ.get("BENCH_TRAIN_BATCH", "12"))
+    # mirror bench.py's row config: the SHIPPED production default
+    # (laplacian perceptual + trained regressor + dropout 0.05);
+    # BENCH_CVBAE_VGG=1 restores the r3-era bf16-VGG/no-regressor config
+    use_vgg = os.environ.get("BENCH_CVBAE_VGG", "0") == "1"
     config = Config({
         "architecture": {"cvae": False},
         "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
-                     "train_regressor": False, "gamma_step": 1e-5,
+                     "train_regressor": not use_vgg, "gamma_step": 1e-5,
                      "information_max": 1000.0, "n_init_batches": 4},
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   dropout_prob=0.05, dtype=jnp.bfloat16)
-    vgg = PerceptualVGG19(dtype=jnp.bfloat16)
+    if use_vgg:
+        vgg = PerceptualVGG19(dtype=jnp.bfloat16)
+    else:
+        from behavior_driven_video_synthesis_tpu.models.perceptual import (
+            LaplacianPyramidFeatures,
+        )
+        vgg = LaplacianPyramidFeatures()
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     batch = {
@@ -238,10 +267,27 @@ def build_cvbae_train():
         "pose_img": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
         "stickman": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
     }
+    if not use_vgg:
+        from behavior_driven_video_synthesis_tpu.models.vunet import (
+            VunetRegressor,
+            compute_n_scales,
+        )
+        batch["reg_imgs"] = jnp.asarray(
+            rng.rand(Bt, 1, S, S, 3) * 2 - 1, jnp.float32)
+        batch["reg_targets"] = jnp.asarray(rng.rand(Bt, 1, 17, 2),
+                                           jnp.float32)
+        bottleneck = S // 2 ** (compute_n_scales(S, 2, 0) - 1)
+        regressor = VunetRegressor(
+            n_out=34,
+            latent_widths=[bottleneck * 2 ** i for i in range(2)])
+    else:
+        regressor = None
     vgg_vars = vgg.init(key, batch["pose_img"][:1])
-    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9)}
-    state = create_vunet_state(key, vunet, None, vgg, txs, batch)
-    step = make_cvbae_train_step(vunet, None, vgg, vgg_vars, txs, config)
+    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9),
+           "regressor": optax.adam(5e-4)}
+    state = create_vunet_state(key, vunet, regressor, vgg, txs, batch)
+    step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
+                                 config)
     return state, step, batch, Bt
 
 
