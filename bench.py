@@ -36,18 +36,28 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 NORTH_STAR_FPS = 2000.0
 
-# The measured XLA conv envelope for the VUNet du+dd scale mix on this chip
-# (ROADMAP item 3, per-scale 3x3-conv rates at the bench shapes): 9.5 TF/s
-# at 256^2xC32, 44 at 128^2xC64, 73 at 64^2xC128, ~73 below.  H^2*C^2 is
-# constant across the top three scales (equal FLOPs), tail ~10% of work ->
-# FLOP-weighted harmonic mean ~22 TF/s: the rate a 100%-conv program built
-# from XLA's own best per-scale convs could reach.  frac_of_envelope is the
-# honest utilization figure; mfu-vs-paper-peak is structurally capped by
-# the underfilled 128-lane MXU at small channel counts.
-CONV_ENVELOPE_TFLOPS = 22.0
-CONV_ENVELOPE_NOTE = ("FLOP-weighted XLA conv envelope over the du+dd "
-                      "scale mix (measured 9.5/44/73 TF/s at 256^2xC32/"
-                      "128^2xC64/64^2xC128, ROADMAP item 3)")
+# The measured XLA conv envelope for the VUNet du+dd serving mix on this
+# chip, from `examples/per_conv_audit.py` (SERVING_GAP.json "per_conv",
+# 2026-08-21): every one of the stage's 28 distinct convs timed ISOLATED
+# at the exact serving shape/batch (chunk=125) with overhead-cancelling
+# two-point timing — floor 476 ms/run over 33.27 TFLOP -> 69.86 TF/s.
+# This replaces the r1-era 22 TF/s proxy, which was measured at B=8 where
+# XLA's conv efficiency at these shapes is 3-7x lower (256^2xC32: 9.5
+# TF/s at B=8 vs 50.98 at B=125).  The compiled stage actually runs at
+# 1.16x this floor (in-graph overlap beats back-to-back isolated convs),
+# so frac_of_envelope ~1 means speed-of-light for this conv mix.
+CONV_ENVELOPE_TFLOPS = 69.86
+CONV_ENVELOPE_NOTE = ("sum-of-isolated-conv floor over the TRUE du+dd "
+                      "conv inventory at serving shapes (per_conv_audit, "
+                      "SERVING_GAP.json per_conv)")
+
+# Audited conv FLOPs of the serving path per generated frame (du+dd
+# transfer_cached, 256px, jaxpr inventory: 4158.19 GFLOP per 125-frame
+# chunk).  Used for the pipeline row's achieved_tflops: XLA
+# cost_analysis counts the inner lax.map chunk body ONCE, so the r3
+# numbers undercounted the pipeline's FLOPs by n_chunks (8x) — the real
+# rate is ~81 TF/s, not 10.3.
+CONV_FLOPS_PER_FRAME_G = 33.27
 
 # Train-step conv envelope: total conv FLOPs of the cvbae step (fwd +
 # dgrad + wgrad, B=12/256px) divided by the sum of each conv's isolated
@@ -243,12 +253,15 @@ def bench_pipeline(quant=None, quant_max_hw=None):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fps = B * T * n_iters / dt
+    # audited conv FLOPs per frame (NOT cost_analysis: it counts the
+    # inner lax.map chunk body once -> 8x undercount at these shapes)
+    flops_total = B * T * n_iters * CONV_FLOPS_PER_FRAME_G * 1e9
     return {
         "metric": f"behavior_transfer_pipeline_{S}px_e2e",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
-        **_mfu_fields(_loop_flops(compiled, n_iters), dt,
+        **_mfu_fields(flops_total, dt,
                       envelope_tflops=CONV_ENVELOPE_TFLOPS,
                       envelope_note=CONV_ENVELOPE_NOTE),
     }

@@ -534,6 +534,8 @@ def main():
         buckets, conv_by_shape, detail = classify_profile(rows, runs)
         # profiler run covers N_ITERS loop iterations per call
         per_run = {k: round(v / N_ITERS, 1) for k, v in buckets.items()}
+        for d_ in detail:
+            d_["us_per_run"] = round(d_["us_per_run"] / N_ITERS, 1)
         profile = {
             "self_time_us_per_run": per_run,
             "conv_us_by_out_shape": {
