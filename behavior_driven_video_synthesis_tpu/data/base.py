@@ -371,14 +371,15 @@ class BaseDataset:
             try:
                 with open(p, "rb") as f:
                     data = f.read()
-                denom = 1
-                if min_dim:
-                    h, w = native.jpeg_dims(data)
-                    for d in (2, 4, 8):
-                        if (-(-h // d) >= min_dim
-                                and -(-w // d) >= min_dim):
-                            denom = d
-                return native.decode_jpeg(data, denom)
+                # cv2.imread auto-applies EXIF orientation; the native
+                # kernel does not — only fast-path files with nothing
+                # to apply so both paths return the same pixels
+                if native.jpeg_orientation(data) in (None, 1):
+                    denom = 1
+                    if min_dim:
+                        h, w = native.jpeg_dims(data)
+                        denom = native.pick_scale_denom(h, w, min_dim)
+                    return native.decode_jpeg(data, denom)
             except (ValueError, OSError):
                 pass  # corrupt/unsupported stream: fall through to cv2
         img = self._load_image(idx)

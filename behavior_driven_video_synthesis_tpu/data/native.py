@@ -184,7 +184,13 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray:
         ctypes.byref(rh), ctypes.byref(rw))
     if rc != 0:
         raise ValueError(f"native jpeg decode failed (rc={rc})")
-    assert (rh.value, rw.value) == (oh, ow), (rh.value, rw.value, oh, ow)
+    if (rh.value, rw.value) != (oh, ow):
+        # ValueError (not assert) so BaseDataset._load_image_rgb's
+        # fallback catches it and retries via cv2
+        raise ValueError(
+            f"native jpeg decode dims mismatch: kernel wrote "
+            f"({rh.value}, {rw.value}), header scan predicted "
+            f"({oh}, {ow})")
     return out
 
 
@@ -198,6 +204,11 @@ def jpeg_dims(data: bytes):
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:
+            # legal fill byte before a marker (ITU T.81 B.1.1.2): the
+            # NEXT byte is the marker, not a segment length
+            i += 1
+            continue
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return (int.from_bytes(data[i + 5:i + 7], "big"),
                     int.from_bytes(data[i + 7:i + 9], "big"))
@@ -207,6 +218,65 @@ def jpeg_dims(data: bytes):
         seg_len = int.from_bytes(data[i + 2:i + 4], "big")
         i += 2 + seg_len
     raise ValueError("no SOF marker found in jpeg stream")
+
+
+def jpeg_orientation(data: bytes):
+    """EXIF Orientation (tag 0x0112) from the APP1 segment, or None when
+    absent/unparseable.  cv2.imread auto-applies EXIF orientation; the
+    native fast path must only be taken when there is nothing to apply
+    (orientation in (None, 1)), else the two decode paths would return
+    differently-rotated images for the same file."""
+    i = 2
+    n = len(data)
+    while i + 4 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0xDA:          # start of scan: no APP1 before pixels
+            return None
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = i + 10
+            try:
+                if data[tiff:tiff + 2] == b"II":
+                    endian = "little"
+                elif data[tiff:tiff + 2] == b"MM":
+                    endian = "big"
+                else:
+                    return None
+                ifd = tiff + int.from_bytes(data[tiff + 4:tiff + 8],
+                                            endian)
+                n_entries = int.from_bytes(data[ifd:ifd + 2], endian)
+                for k in range(n_entries):
+                    e = ifd + 2 + 12 * k
+                    tag = int.from_bytes(data[e:e + 2], endian)
+                    if tag == 0x0112:
+                        return int.from_bytes(data[e + 8:e + 10], endian)
+            except (IndexError, ValueError):
+                return None
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def pick_scale_denom(h: int, w: int, min_dim: int) -> int:
+    """Largest libjpeg DCT-downscale denominator in {1,2,4,8} that keeps
+    BOTH output dims >= min_dim (so a later resize to min_dim stays a
+    pure downscale).  Shared by the training loader
+    (data/base.py:_load_image_rgb) and the host pipeline bench so both
+    measure the same decode path."""
+    denom = 1
+    for d in (2, 4, 8):
+        if -(-h // d) >= min_dim and -(-w // d) >= min_dim:
+            denom = d
+    return denom
 
 
 def decode_jpeg_batch(streams, scale_denom: int = 1,
@@ -238,6 +308,15 @@ def decode_jpeg_batch(streams, scale_denom: int = 1,
         raise ValueError(
             f"native jpeg batch decode failed for {len(bad)} stream(s), "
             f"first rc={rcs[bad[0]]} at index {bad[0]}")
+    mismatch = [i for i in range(n)
+                if (dims[i, 0], dims[i, 1]) != shapes[i]]
+    if mismatch:
+        i0 = mismatch[0]
+        raise ValueError(
+            f"native jpeg batch decode dims mismatch for "
+            f"{len(mismatch)} stream(s); first at index {i0}: kernel "
+            f"wrote {tuple(dims[i0])}, header scan predicted "
+            f"{shapes[i0]}")
     return [outs[i, :shapes[i][0] * shapes[i][1] * 3]
             .reshape(shapes[i][0], shapes[i][1], 3) for i in range(n)]
 

@@ -106,7 +106,7 @@ class EncUp(nn.Module):
             for _ in range(2):
                 h = rnb(channels=nf, conv_layer=self.conv_layer,
                         dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+                        dropout_impl=self.dropout_impl,
                         dtype=self.dtype)(h, None, train)
                 hs.append(h)
             if i + 1 < self.n_scales:
@@ -176,7 +176,7 @@ class EncDown(nn.Module):
 
         h = rnb(channels=nf, residual=True, conv_layer=self.conv_layer,
                 dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+                dropout_impl=self.dropout_impl,
                 dtype=self.dtype)(h, gs.pop(), train)
         hs.append(h)
         return hs, means, logstds, zs
@@ -238,7 +238,7 @@ class DecDown(nn.Module):
                     h = rnb(channels=nf, residual=True,
                             conv_layer=self.conv_layer,
                             dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+                            dropout_impl=self.dropout_impl,
                             dtype=self.dtype)(h, z, train)
                 else:
                     h, p, z_prior = self._autoregressive_scale(
@@ -285,7 +285,7 @@ class DecDown(nn.Module):
                                       axis=-1)
         pre = rnb(channels=nf, conv_layer=self.conv_layer,
                   dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+                  dropout_impl=self.dropout_impl,
                   dtype=self.dtype)(h, None, train)
         p_features = space_to_depth(pre, 2)
 
@@ -303,7 +303,7 @@ class DecDown(nn.Module):
                 p_features = rnb(channels=4 * nf, residual=True,
                                  conv_layer=self.conv_layer,
                                  dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+                                 dropout_impl=self.dropout_impl,
                                  dtype=self.dtype)(
                     p_features, feedback, train)
 
@@ -395,7 +395,7 @@ class VUNet(nn.Module):
             n_scales=self.n_scales_x, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer,
             dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl, remat=rnb_remat,
+            dropout_impl=self.dropout_impl, remat=rnb_remat,
             dtype=self.dtype,
         )
         if self.upsample_transpose:
@@ -405,7 +405,7 @@ class VUNet(nn.Module):
             nf=self.nf_max, n_latent_scales=self.n_latent_scales,
             variant=self.variant, conv_layer=conv_layer,
             dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+            dropout_impl=self.dropout_impl,
             upsample_transpose=self.upsample_transpose, remat=rnb_remat,
             dtype=self.dtype,
         )
@@ -413,7 +413,7 @@ class VUNet(nn.Module):
             n_scales=self.n_scales, nf_start=self.nf_start,
             nf_max=self.nf_max, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl, remat=rnb_remat,
+            dropout_impl=self.dropout_impl, remat=rnb_remat,
             dtype=self.dtype,
         )
         self.dd = dec_down_cls(
@@ -423,7 +423,7 @@ class VUNet(nn.Module):
             subpixel_upsampling=self.subpixel_upsampling,
             variant=self.variant, conv_layer=conv_layer_pf,
             dropout_prob=self.dropout_prob,
-                    dropout_impl=self.dropout_impl,
+            dropout_impl=self.dropout_impl,
             upsample_transpose=self.upsample_transpose, remat=rnb_remat,
             dtype=self.dtype,
         )

@@ -587,6 +587,10 @@ class VunetRNB(nn.Module):
         if self.dropout_impl == "bits":
             return BitsDropout(self.dropout_prob,
                                deterministic=not train)
+        if self.dropout_impl != "flax":
+            raise ValueError(
+                f"unknown dropout_impl {self.dropout_impl!r}; expected "
+                "'flax', 'packed', or 'bits'")
         return nn.Dropout(self.dropout_prob, deterministic=not train)
 
     @nn.compact

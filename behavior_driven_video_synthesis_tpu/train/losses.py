@@ -130,6 +130,12 @@ def feature_matching_loss(feats_real: Sequence, feats_fake: Sequence):
     .fmap_loss, models/pose_discriminator.py:173-180, divides the summed
     per-level means by the level count — matching that scale keeps
     reference-tuned loss weights transferable)."""
+    if len(feats_real) != len(feats_fake):
+        raise ValueError(
+            f"feature list length mismatch: {len(feats_real)} real vs "
+            f"{len(feats_fake)} fake")
+    if not feats_real:
+        return jnp.zeros(())
     n = len(feats_real)
     return sum(jnp.mean(jnp.abs(fr - ff))
                for fr, ff in zip(feats_real, feats_fake)) / n

@@ -253,17 +253,28 @@ def bench_pipeline(quant=None, quant_max_hw=None):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fps = B * T * n_iters / dt
-    # audited conv FLOPs per frame (NOT cost_analysis: it counts the
-    # inner lax.map chunk body once -> 8x undercount at these shapes)
-    flops_total = B * T * n_iters * CONV_FLOPS_PER_FRAME_G * 1e9
+    if S == 256:
+        # audited conv FLOPs per frame (NOT cost_analysis: it counts the
+        # inner lax.map chunk body once -> 8x undercount at these shapes).
+        # The audited constant and the envelope denominator are both
+        # 256px/nf32-128 figures — at other BENCH_SPATIAL fall back to
+        # cost_analysis (which may undercount chunked programs) and emit
+        # no envelope fields rather than wrong ones.
+        flops_total = B * T * n_iters * CONV_FLOPS_PER_FRAME_G * 1e9
+        mfu = _mfu_fields(flops_total, dt,
+                          envelope_tflops=CONV_ENVELOPE_TFLOPS,
+                          envelope_note=CONV_ENVELOPE_NOTE)
+    else:
+        mfu = _mfu_fields(_loop_flops(compiled, n_iters), dt)
+        mfu["flops_note"] = ("cost_analysis FLOPs (undercounts inner "
+                             "chunk loops); audited per-frame constant "
+                             "only valid at 256px")
     return {
         "metric": f"behavior_transfer_pipeline_{S}px_e2e",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
-        **_mfu_fields(flops_total, dt,
-                      envelope_tflops=CONV_ENVELOPE_TFLOPS,
-                      envelope_note=CONV_ENVELOPE_NOTE),
+        **mfu,
     }
 
 
@@ -273,15 +284,8 @@ def bench_cvbae_train():
     reference config/shape_and_pose_net.yaml:44-58, 150k iters)."""
     import jax
     import jax.numpy as jnp
-    import optax
-    from behavior_driven_video_synthesis_tpu.core import Config
-    from behavior_driven_video_synthesis_tpu.models.perceptual import (
-        PerceptualVGG19,
-    )
-    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
-    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
-        create_vunet_state,
-        make_cvbae_train_step,
+    from behavior_driven_video_synthesis_tpu.train.bench_harness import (
+        build_cvbae_bench_step,
     )
 
     B = int(os.environ.get("BENCH_BATCH", "12"))
@@ -292,49 +296,10 @@ def bench_cvbae_train():
     # (bf16 random-VGG, no regressor) for cross-round comparison; the
     # full config<->rate map lives in CVBAE_RECONCILE.json.
     use_vgg = os.environ.get("BENCH_CVBAE_VGG", "0") == "1"
-    config = Config({
-        "architecture": {"cvae": False},
-        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
-                     "train_regressor": not use_vgg, "gamma_step": 1e-5,
-                     "information_max": 1000.0, "n_init_batches": 4},
-    })
-    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dropout_prob=0.05, dtype=jnp.bfloat16)
-    if use_vgg:
-        vgg = PerceptualVGG19(dtype=jnp.bfloat16)
-    else:
-        from behavior_driven_video_synthesis_tpu.models.perceptual import (
-            LaplacianPyramidFeatures,
-        )
-        vgg = LaplacianPyramidFeatures()
     key = jax.random.PRNGKey(0)
-    batch = {
-        "pose_img": jax.random.normal(key, (B, S, S, 3)) * 0.5,
-        "stickman": jax.random.normal(jax.random.fold_in(key, 1),
-                                      (B, S, S, 3)) * 0.5,
-    }
-    batch["app_img"] = batch["pose_img"]
-    if not use_vgg:
-        from behavior_driven_video_synthesis_tpu.models.vunet import (
-            VunetRegressor,
-            compute_n_scales,
-        )
-        batch["reg_imgs"] = jax.random.normal(
-            jax.random.fold_in(key, 2), (B, 1, S, S, 3)) * 0.5
-        batch["reg_targets"] = jax.random.normal(
-            jax.random.fold_in(key, 3), (B, 1, 17, 2)) * 0.1
-        bottleneck = S // 2 ** (compute_n_scales(S, 2, 0) - 1)
-        regressor = VunetRegressor(
-            n_out=34,
-            latent_widths=[bottleneck * 2 ** i for i in range(2)])
-    else:
-        regressor = None
-    vgg_vars = vgg.init(key, batch["pose_img"])
-    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9),
-           "regressor": optax.adam(5e-4)}
-    state = create_vunet_state(key, vunet, regressor, vgg, txs, batch)
-    step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
-                                 config)
+    state, step, batch = build_cvbae_bench_step(
+        B, S, regressor_on=not use_vgg,
+        features=jnp.bfloat16 if use_vgg else "laplacian")
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
 

@@ -31,68 +31,23 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                  ".jax_cache"))
 
-import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
-from behavior_driven_video_synthesis_tpu.core.config import Config
-from behavior_driven_video_synthesis_tpu.models.perceptual import (
-    LaplacianPyramidFeatures,
-    PerceptualVGG19,
-)
-from behavior_driven_video_synthesis_tpu.models.vunet import (
-    VUNet,
-    VunetRegressor,
-    compute_n_scales,
-)
-from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
-    create_vunet_state,
-    make_cvbae_train_step,
+from behavior_driven_video_synthesis_tpu.train.bench_harness import (
+    build_cvbae_bench_step,
 )
 
 
 def build(B, S, *, dropout, regressor_on, vgg_dtype, key,
           dropout_rng="threefry", dropout_impl="flax"):
-    config = Config({
-        "architecture": {"cvae": False},
-        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
-                     "weight_regressor": 4.0,
-                     "train_regressor": regressor_on,
-                     "gamma_step": 1e-5, "information_max": 1000.0,
-                     "n_init_batches": 4, "dropout_rng": dropout_rng},
-    })
-    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dropout_prob=dropout, dropout_impl=dropout_impl,
-                  dtype=jnp.bfloat16)
-    if vgg_dtype == "laplacian":
-        vgg = LaplacianPyramidFeatures()
-    else:
-        vgg = PerceptualVGG19(dtype=vgg_dtype)
-    rng = np.random.RandomState(0)
-    batch = {
-        "app_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
-        "pose_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
-        "stickman": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
-    }
-    if regressor_on:
-        batch["reg_imgs"] = jnp.asarray(rng.rand(B, 1, S, S, 3) * 2 - 1,
-                                        jnp.float32)
-        batch["reg_targets"] = jnp.asarray(rng.rand(B, 1, 17, 2),
-                                           jnp.float32)
-        n_scales = compute_n_scales(S, 2, 0)
-        bottleneck = S // 2 ** (n_scales - 1)
-        regressor = VunetRegressor(
-            n_out=34, latent_widths=[bottleneck * 2 ** i for i in range(2)])
-    else:
-        regressor = None
-    vgg_vars = vgg.init(key, batch["pose_img"][:1])
-    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9),
-           "regressor": optax.adam(5e-4)}
-    state = create_vunet_state(key, vunet, regressor, vgg, txs, batch)
-    step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
-                                 config)
-    return state, step, batch
+    # shared with bench.py and per_conv_audit.py so all three harnesses
+    # measure the same program
+    del key  # seed fixed inside the shared builder
+    return build_cvbae_bench_step(
+        B, S, dropout=dropout, regressor_on=regressor_on,
+        features=vgg_dtype, dropout_rng=dropout_rng,
+        dropout_impl=dropout_impl)
 
 
 def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,

@@ -140,10 +140,7 @@ def main():
         # largest denom keeping both dims >= S, so the later resize to S
         # is still a pure downscale
         h0, w0 = native.jpeg_dims(streams[0])
-        denom = 1
-        for d in (2, 4, 8):
-            if -(-h0 // d) >= S and -(-w0 // d) >= S:
-                denom = d
+        denom = native.pick_scale_denom(h0, w0, S)
         bench_stage(f"jpeg_decode_native_dct1_{denom}",
                     lambda s: native.decode_jpeg(s, denom), streams)
         results["dct_denom"] = denom

@@ -226,68 +226,20 @@ def build_synth():
 
 def build_cvbae_train():
     """The bench.py cvbae train step at bench shapes (B=12, 256px):
-    returns (loop_fn_args, fn) where fn is ONE train step (fwd+bwd+adam);
-    the conv inventory of its jaxpr covers forward, input-grad and
-    weight-grad convs."""
-    import optax
-    from behavior_driven_video_synthesis_tpu.core.config import Config
-    from behavior_driven_video_synthesis_tpu.models.perceptual import (
-        PerceptualVGG19,
-    )
-    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
-    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
-        create_vunet_state,
-        make_cvbae_train_step,
+    ONE train step (fwd+bwd+adam); the conv inventory of its jaxpr covers
+    forward, input-grad and weight-grad convs.  Mirrors bench.py's row
+    config exactly via the shared builder: the SHIPPED production default
+    (laplacian perceptual + trained regressor + dropout 0.05);
+    BENCH_CVBAE_VGG=1 restores the r3-era bf16-VGG/no-regressor config."""
+    from behavior_driven_video_synthesis_tpu.train.bench_harness import (
+        build_cvbae_bench_step,
     )
 
     Bt = int(os.environ.get("BENCH_TRAIN_BATCH", "12"))
-    # mirror bench.py's row config: the SHIPPED production default
-    # (laplacian perceptual + trained regressor + dropout 0.05);
-    # BENCH_CVBAE_VGG=1 restores the r3-era bf16-VGG/no-regressor config
     use_vgg = os.environ.get("BENCH_CVBAE_VGG", "0") == "1"
-    config = Config({
-        "architecture": {"cvae": False},
-        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
-                     "train_regressor": not use_vgg, "gamma_step": 1e-5,
-                     "information_max": 1000.0, "n_init_batches": 4},
-    })
-    vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
-                  dropout_prob=0.05, dtype=jnp.bfloat16)
-    if use_vgg:
-        vgg = PerceptualVGG19(dtype=jnp.bfloat16)
-    else:
-        from behavior_driven_video_synthesis_tpu.models.perceptual import (
-            LaplacianPyramidFeatures,
-        )
-        vgg = LaplacianPyramidFeatures()
-    rng = np.random.RandomState(0)
-    key = jax.random.PRNGKey(0)
-    batch = {
-        "app_img": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
-        "pose_img": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
-        "stickman": jnp.asarray(rng.rand(Bt, S, S, 3) * 2 - 1, jnp.float32),
-    }
-    if not use_vgg:
-        from behavior_driven_video_synthesis_tpu.models.vunet import (
-            VunetRegressor,
-            compute_n_scales,
-        )
-        batch["reg_imgs"] = jnp.asarray(
-            rng.rand(Bt, 1, S, S, 3) * 2 - 1, jnp.float32)
-        batch["reg_targets"] = jnp.asarray(rng.rand(Bt, 1, 17, 2),
-                                           jnp.float32)
-        bottleneck = S // 2 ** (compute_n_scales(S, 2, 0) - 1)
-        regressor = VunetRegressor(
-            n_out=34,
-            latent_widths=[bottleneck * 2 ** i for i in range(2)])
-    else:
-        regressor = None
-    vgg_vars = vgg.init(key, batch["pose_img"][:1])
-    txs = {"vunet": optax.adam(5e-4, b1=0.5, b2=0.9),
-           "regressor": optax.adam(5e-4)}
-    state = create_vunet_state(key, vunet, regressor, vgg, txs, batch)
-    step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
-                                 config)
+    state, step, batch = build_cvbae_bench_step(
+        Bt, S, regressor_on=not use_vgg,
+        features=jnp.bfloat16 if use_vgg else "laplacian")
     return state, step, batch, Bt
 
 

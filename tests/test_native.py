@@ -150,6 +150,38 @@ class TestJpegDecode:
         data = self._jpeg(rng, h=123, w=457)
         assert native.jpeg_dims(data) == (123, 457)
 
+    def test_dims_with_fill_bytes(self, rng):
+        """ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+        marker; the header scan must skip them, not read the marker as a
+        segment length (found live by the round-4 self-review)."""
+        data = self._jpeg(rng, h=123, w=457)
+        # inject a fill byte before the first post-SOI marker
+        assert data[:2] == b"\xff\xd8"
+        padded = data[:2] + b"\xff" + data[2:]
+        assert native.jpeg_dims(padded) == (123, 457)
+
+    def test_orientation_parse(self, rng):
+        data = self._jpeg(rng)
+        # cv2-encoded jpegs carry no EXIF -> None (fast path eligible)
+        assert native.jpeg_orientation(data) is None
+        # splice in a minimal APP1 Exif segment with Orientation=6
+        tiff = (b"II*\x00\x08\x00\x00\x00"          # TIFF header, IFD @8
+                b"\x01\x00"                          # 1 entry
+                b"\x12\x01\x03\x00\x01\x00\x00\x00"  # tag 0x0112 SHORT x1
+                b"\x06\x00\x00\x00"                  # value 6
+                b"\x00\x00\x00\x00")                 # next-IFD offset
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+        tagged = data[:2] + app1 + data[2:]
+        assert native.jpeg_orientation(tagged) == 6
+        assert native.jpeg_dims(tagged) == (240, 320)
+
+    def test_pick_scale_denom(self):
+        assert native.pick_scale_denom(1000, 1000, 256) == 2
+        assert native.pick_scale_denom(1000, 1000, 125) == 8
+        assert native.pick_scale_denom(1000, 300, 256) == 1
+        assert native.pick_scale_denom(2048, 2048, 256) == 8
+
     def test_dct_downscale_dims_and_content(self, rng):
         data = self._jpeg(rng, h=250, w=330, smooth=True)
         for d in (2, 4, 8):
