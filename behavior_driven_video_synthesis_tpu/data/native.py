@@ -221,11 +221,12 @@ def jpeg_dims(data: bytes):
 
 
 def jpeg_orientation(data: bytes):
-    """EXIF Orientation (tag 0x0112) from the APP1 segment, or None when
-    absent/unparseable.  cv2.imread auto-applies EXIF orientation; the
-    native fast path must only be taken when there is nothing to apply
-    (orientation in (None, 1)), else the two decode paths would return
-    differently-rotated images for the same file."""
+    """EXIF Orientation (tag 0x0112) from the APP1 segment: None when no
+    EXIF segment exists, 0 when one exists but is malformed/unparseable
+    (reads clamped to the segment), else the tag value.  cv2.imread
+    auto-applies EXIF orientation; the native fast path must only be
+    taken when there is provably nothing to apply (orientation in
+    (None, 1)) — the 0 sentinel therefore routes to cv2."""
     i = 2
     n = len(data)
     while i + 4 < n:
@@ -243,24 +244,38 @@ def jpeg_orientation(data: bytes):
             continue
         seg_len = int.from_bytes(data[i + 2:i + 4], "big")
         if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+            # every TIFF/IFD read below is clamped to the APP1 segment
+            # [tiff, seg_end): a malformed IFD offset or inflated entry
+            # count must not scan unrelated file bytes (a spurious
+            # tag-0x0112 match there could wrongly green-light the native
+            # fast path).  Out-of-bounds -> 0 sentinel (NOT None): the
+            # segment is present but unparseable, so the caller skips the
+            # fast path.
             tiff = i + 10
+            seg_end = i + 2 + seg_len
             try:
                 if data[tiff:tiff + 2] == b"II":
                     endian = "little"
                 elif data[tiff:tiff + 2] == b"MM":
                     endian = "big"
                 else:
-                    return None
+                    return 0
+                if tiff + 8 > seg_end:
+                    return 0
                 ifd = tiff + int.from_bytes(data[tiff + 4:tiff + 8],
                                             endian)
+                if ifd < tiff or ifd + 2 > seg_end:
+                    return 0
                 n_entries = int.from_bytes(data[ifd:ifd + 2], endian)
+                if ifd + 2 + 12 * n_entries > seg_end:
+                    return 0
                 for k in range(n_entries):
                     e = ifd + 2 + 12 * k
                     tag = int.from_bytes(data[e:e + 2], endian)
                     if tag == 0x0112:
                         return int.from_bytes(data[e + 8:e + 10], endian)
             except (IndexError, ValueError):
-                return None
+                return 0
             return None
         i += 2 + seg_len
     return None

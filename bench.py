@@ -264,6 +264,9 @@ def bench_pipeline(quant=None, quant_max_hw=None):
         mfu = _mfu_fields(flops_total, dt,
                           envelope_tflops=CONV_ENVELOPE_TFLOPS,
                           envelope_note=CONV_ENVELOPE_NOTE)
+        mfu["flops_note"] = ("conv-only audited jaxpr-inventory FLOPs "
+                             "(33.27 GFLOP/frame at 256px serving); NOT "
+                             "comparable to cost_analysis-based mfu rows")
     else:
         mfu = _mfu_fields(_loop_flops(compiled, n_iters), dt)
         mfu["flops_note"] = ("cost_analysis FLOPs (undercounts inner "

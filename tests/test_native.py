@@ -176,6 +176,33 @@ class TestJpegDecode:
         assert native.jpeg_orientation(tagged) == 6
         assert native.jpeg_dims(tagged) == (240, 320)
 
+    def test_orientation_malformed_exif_is_sentinel(self, rng):
+        """A present-but-malformed APP1 must return the 0 sentinel (skip
+        the native fast path), never scan beyond the segment: a garbage
+        IFD offset could otherwise hit a spurious 0x0112 pattern in
+        unrelated file bytes and read as orientation=1 (fast-path
+        eligible) on a file cv2 might rotate differently."""
+        data = self._jpeg(rng)
+
+        def with_app1(tiff):
+            payload = b"Exif\x00\x00" + tiff
+            app1 = (b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big")
+                    + payload)
+            return data[:2] + app1 + data[2:]
+
+        # IFD offset pointing far past the APP1 segment
+        far = with_app1(b"II*\x00" + (10 ** 6).to_bytes(4, "little"))
+        assert native.jpeg_orientation(far) == 0
+        # entry count larger than the segment can hold
+        fat = with_app1(b"II*\x00\x08\x00\x00\x00" + b"\xff\x7f")
+        assert native.jpeg_orientation(fat) == 0
+        # truncated TIFF header (no IFD offset at all)
+        short = with_app1(b"II*\x00")
+        assert native.jpeg_orientation(short) == 0
+        # unknown byte order
+        bad = with_app1(b"XX*\x00\x08\x00\x00\x00\x00\x00")
+        assert native.jpeg_orientation(bad) == 0
+
     def test_pick_scale_denom(self):
         assert native.pick_scale_denom(1000, 1000, 256) == 2
         assert native.pick_scale_denom(1000, 1000, 125) == 8
