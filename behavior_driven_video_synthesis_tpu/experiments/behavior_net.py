@@ -42,6 +42,7 @@ from ..train.behavior import (
     make_behavior_train_step,
 )
 from ..train.flow import create_flow_state, make_flow_train_step
+from ..train.state import torch_adam
 from .base import Experiment
 from .data_factory import build_sequence_data, normalize_action_labels
 
@@ -88,14 +89,17 @@ class BehaviorNetExperiment(Experiment):
             lr, n_steps, list(tr.get("tau", [0.2, 0.45, 0.7])),
             float(tr.get("gamma", 0.3)))
         wd = float(tr.get("weight_decay", 0.0))
-        net_tx = (optax.adamw(schedule, weight_decay=wd) if wd > 0
-                  else optax.adam(schedule))
+        # per-module optimizer hyperparameters are the reference's
+        # (experiments/behavior_net.py:288-306,334): probe classifiers
+        # carry torch-Adam L2 weight decay (1e-4 / 1e-5) and the beta
+        # probe trains 10x hotter (lr 1e-3) — torch_adam reproduces
+        # torch.optim.Adam's L2-in-grad semantics, NOT decoupled AdamW
         return {
-            "net": net_tx,
-            "regressor": optax.adam(1e-4),
-            "cls_action": optax.adam(1e-4),
-            "cls_action2": optax.adam(1e-4),
-            "cls_beta": optax.adam(1e-4),
+            "net": torch_adam(schedule, weight_decay=wd),
+            "regressor": torch_adam(1e-4),
+            "cls_action": torch_adam(1e-4, weight_decay=1e-4),
+            "cls_action2": torch_adam(1e-4, weight_decay=1e-5),
+            "cls_beta": torch_adam(1e-3),
         }
 
     # -- training -----------------------------------------------------------
@@ -187,9 +191,13 @@ class BehaviorNetExperiment(Experiment):
 
         # ---- flow stage ---------------------------------------------------
         flow_model = self._build_flow()
-        flow_tx = optax.adam(
+        # reference flow optimizer: Adam(lr=flow_lr*batch, betas=(0.5,
+        # 0.9), weight_decay=cfg) (experiments/behavior_net.py:384-391)
+        flow_tx = torch_adam(
             float(cfg.training.get("flow_lr", 4.5e-7))
-            * int(cfg.training.batch_size))
+            * int(cfg.training.batch_size),
+            b1=0.5, b2=0.9,
+            weight_decay=float(cfg.training.get("weight_decay", 0.0)))
         sample_b = self._infer_b(model, state, sample_batch, ks())
         fstate = create_flow_state(ks(), flow_model, flow_tx, sample_b)
         fstate, fstart, fmgr = self.maybe_restore("flow_ckpt", fstate)

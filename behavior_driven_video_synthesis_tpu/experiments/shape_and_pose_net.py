@@ -146,12 +146,18 @@ class ShapePoseExperiment(Experiment):
         ks = KeySeq(int(cfg.general.get("seed", 42)))
         vgg, vgg_vars = self._build_vgg(spatial, ks())
 
+        # reference optimizers (shape_and_pose_net.py:237-246,270,311-319):
+        # vunet Adam(lr, betas cfg) with lr linearly decayed to 0 over the
+        # full schedule (adjust_lr, applied per iteration); regressor
+        # Adam(1e-3)
+        lr0 = float(cfg.training.get("lr", 5e-4))
+        total_steps = int(cfg.training.get("end_iteration", 150000))
         txs = {
             "vunet": optax.adam(
-                float(cfg.training.get("lr", 5e-4)),
+                optax.linear_schedule(lr0, 0.0, total_steps),
                 b1=float(cfg.training.get("adam_betas", (0.5, 0.9))[0]),
                 b2=float(cfg.training.get("adam_betas", (0.5, 0.9))[1])),
-            "regressor": optax.adam(1e-4),
+            "regressor": optax.adam(1e-3),
         }
         disc_model = None
         if bool(cfg.training.get("use_gan", False)):

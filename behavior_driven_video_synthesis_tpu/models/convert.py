@@ -494,3 +494,28 @@ def convert_sequence_disc_michael(state_dict: Dict,
                                                                  out_dim)
     params["Dense_0"] = {"kernel": jnp.asarray(kernel)}
     return {"params": params}
+
+
+def convert_regressor_fly(state_dict: Dict) -> Dict:
+    """Reference Regressor_fly (pose_behavior_rnn.py:47-62) -> our
+    probes.RegressorFly (compact Dense order fc1,fc2,fc3,fc4,fc5)."""
+    sd = state_dict
+    return {"params": {
+        f"Dense_{i}": _dense(sd, f"fc{i + 1}") for i in range(5)}}
+
+
+def convert_classifier_action(state_dict: Dict) -> Dict:
+    """Reference Classifier_action (pose_behavior_rnn.py:19-31) -> our
+    probes.ClassifierAction (LSTM + fc1 + fc3)."""
+    sd = state_dict
+    return {"params": {
+        "LSTM_0": _lstm_l0(sd, "RNN"),
+        "Dense_0": _dense(sd, "fc1"),
+        "Dense_1": _dense(sd, "fc3"),
+    }}
+
+
+def convert_classifier_action_beta(state_dict: Dict) -> Dict:
+    """Reference Classifier_action_beta (pose_behavior_rnn.py:65-73) ->
+    our probes.ClassifierActionBeta (a single Dense)."""
+    return {"params": {"Dense_0": _dense(state_dict, "fc1")}}

@@ -39,16 +39,16 @@ class _BasicBlock1D(nn.Module):
         y = nn.Conv(self.planes, (3,), strides=(self.stride,), padding=1,
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        y = nn.GroupNorm(num_groups=4, dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3,), padding=1, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.GroupNorm(num_groups=4, dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype)(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (3,), strides=(self.stride,),
                                padding=1, use_bias=False, dtype=self.dtype,
                                param_dtype=jnp.float32)(x)
-            residual = nn.GroupNorm(num_groups=16, dtype=self.dtype)(residual)
+            residual = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -64,7 +64,7 @@ class SequenceDiscMichael(nn.Module):
         """x: (B, T, n_kps) — typically frame-difference 'velocities'."""
         h = nn.Conv(64, (3,), padding=1, use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        h = nn.GroupNorm(num_groups=4, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.relu(h)
         for i, planes in enumerate((64, 32)):
             n_blocks = self.layers[i]
@@ -211,11 +211,11 @@ class ResnetBlock2D(nn.Module):
             res = nn.Conv(self.n_out, (self.kernel_size, self.kernel_size),
                           strides=self.stride, padding=self.kernel_size // 2,
                           dtype=self.dtype, param_dtype=jnp.float32)(x)
-        h = nn.GroupNorm(num_groups=max(1, nin // 8), dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=max(1, nin // 8), epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Conv(n_hidden, (self.kernel_size, self.kernel_size),
                     strides=self.stride, padding=self.kernel_size // 2,
                     dtype=self.dtype, param_dtype=jnp.float32)(nn.relu(h))
-        h = nn.GroupNorm(num_groups=max(1, n_hidden // 8),
+        h = nn.GroupNorm(num_groups=max(1, n_hidden // 8), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.Conv(self.n_out, (self.kernel_size, self.kernel_size),
                     padding=self.kernel_size // 2, dtype=self.dtype,

@@ -160,8 +160,11 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
             likelihood = ll_weight * sum(ll_dict.values())
             kl = compute_kl_with_prior(means, logstds)
             tuning = 1.0 if is_cvae else state.gamma
+            # reference gate: iteration > n_init_batches with 1-based
+            # ignite iterations (shape_and_pose_net.py:404) == our 0-based
+            # step >= n_init_batches (KL joins on batch n_init_batches+1)
             loss = likelihood + jnp.where(
-                state.step > n_init_batches, tuning * kl, 0.0)
+                state.step >= n_init_batches, tuning * kl, 0.0)
             # aux carries only what the step consumes: under grad_accum
             # every non-scalar aux leaf is stacked across microbatches by
             # the scan, so a stray full-batch tensor here (e.g. the

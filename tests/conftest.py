@@ -66,6 +66,7 @@ _SLOW = {
     "test_figures.py::test_nearest_neighbour_figure",
     "test_reference_parity.py::test_living_reference_realistic_vunet_org",
     "test_multichip_256.py",                    # whole module: 256px compiles
+    "test_reference_train_parity.py",           # whole module: N-step lockstep
 }
 
 
