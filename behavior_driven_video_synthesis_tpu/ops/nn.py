@@ -521,6 +521,10 @@ def bits_dropout(key, rate: float, x):
     """
     if rate <= 0.0:
         return x
+    if rate >= 1.0:
+        # matches flax nn.Dropout's rate=1 contract (everything dropped);
+        # without this, keep=0 makes scale a trace-time ZeroDivisionError
+        return jnp.zeros_like(x)
     thresh = int(min(2 ** 32 - 1, round((1.0 - rate) * 2 ** 32)))
     keep = thresh / 2 ** 32
     scale = 1.0 / keep
@@ -587,11 +591,29 @@ class VunetRNB(nn.Module):
         if self.dropout_impl == "bits":
             return BitsDropout(self.dropout_prob,
                                deterministic=not train)
-        if self.dropout_impl != "flax":
+        if self.dropout_impl not in ("flax", "pallas"):
             raise ValueError(
                 f"unknown dropout_impl {self.dropout_impl!r}; expected "
-                "'flax', 'packed', or 'bits'")
+                "'flax', 'packed', 'bits', or 'pallas'")
         return nn.Dropout(self.dropout_prob, deterministic=not train)
+
+    def _fused_act_dropout(self):
+        """act+dropout as ONE call when dropout_impl == 'pallas': the
+        fused in-register-PRNG kernel (ops/pallas/elu_dropout.py) on a
+        single TPU, the equivalent XLA elu + bits_dropout composition
+        elsewhere (CPU tests, GSPMD meshes — a Mosaic custom call is not
+        partitionable).  None when the site doesn't qualify: the kernel
+        computes ELU specifically, so a custom act_fn or activate=False
+        keeps the unfused path."""
+        if (self.dropout_impl != "pallas" or self.act_fn is not None
+                or not self.activate):
+            return None
+        from .pallas.elu_dropout import elu_dropout
+
+        def fused(v):
+            return elu_dropout(v, self.make_rng("dropout"),
+                               self.dropout_prob)
+        return fused
 
     @nn.compact
     def __call__(self, x, a=None, train: bool = False):
@@ -601,6 +623,9 @@ class VunetRNB(nn.Module):
             act = self.act_fn if self.activate else (lambda v: v)
         else:
             act = nn.elu if self.activate else (lambda v: v)
+
+        fused = (self._fused_act_dropout()
+                 if train and self.dropout_prob > 0.0 else None)
 
         def make_main_conv():
             return self.conv_layer(
@@ -618,10 +643,13 @@ class VunetRNB(nn.Module):
             a = self.conv_layer(self.channels, kernel_size=1,
                                 dtype=self.dtype)(a)
             conv = make_main_conv()
-            hx, ha = act(x), act(a)
-            if self.dropout_prob > 0.0:
-                drop = self._make_dropout(train)
-                hx, ha = drop(hx), drop(ha)
+            if fused is not None:
+                hx, ha = fused(x), fused(a)
+            else:
+                hx, ha = act(x), act(a)
+                if self.dropout_prob > 0.0:
+                    drop = self._make_dropout(train)
+                    hx, ha = drop(hx), drop(ha)
             if isinstance(conv, NormConv2d):
                 # conv(concat(hx, ha)) computed as two convs on the sliced
                 # kernel — exact, and skips materializing the concat
@@ -629,9 +657,12 @@ class VunetRNB(nn.Module):
             else:
                 h = conv(jnp.concatenate([hx, ha], axis=-1))
             return x + h
-        h = act(x)
-        if self.dropout_prob > 0.0:
-            h = self._make_dropout(train)(h)
+        if fused is not None:
+            h = fused(x)
+        else:
+            h = act(x)
+            if self.dropout_prob > 0.0:
+                h = self._make_dropout(train)(h)
         return x + make_main_conv()(h)
 
 

@@ -182,6 +182,21 @@ def main():
         dict(name="shipped production default + threefry bits dropout",
              dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
              donate=True, dropout_rng="threefry", dropout_impl="bits"),
+        # round-5 arms (--only r5): the Pallas fused act+dropout kernel
+        # (ops/pallas/elu_dropout.py) — ELU + in-register PRNG mask +
+        # backward mask regeneration in ONE elementwise kernel, the one
+        # representation XLA cannot express (mask bits never touch HBM).
+        # Controls re-measured in the same process for a fair A/B.
+        dict(name="r5 control: shipped production default + rbg (flax)",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg"),
+        dict(name="r5 control: shipped default minus dropout",
+             dropout=0.0, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg"),
+        dict(name="r5 shipped production default + pallas fused "
+                  "act-dropout",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg", dropout_impl="pallas"),
     ]
     rows = []
     for a in arms:
