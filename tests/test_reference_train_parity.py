@@ -505,3 +505,247 @@ def test_shipped_step_divergence_is_bounded(ref, monkeypatch):
         assert rel < 0.05, (
             f"shipped-step '{key}' drifted {rel:.2e} from the reference "
             "trajectory — beyond the documented reorder's expected scale")
+
+
+# ===================================================================== cvbae
+# VUNet-alter (cvbae) gradient lockstep: the shipped make_cvbae_train_step
+# vs the reference train_fn body (shape_and_pose_net.py:360-466) — the
+# second training family, exercising weight-norm CONV backward through the
+# full eu/ed/du/dd stack, compute_kl_with_prior's gradient, the cvbae gamma
+# controller, Adam(0.5, 0.9) and the per-iteration linear lr decay.
+#
+# The perceptual net is a deterministic avg-pool pyramid implemented
+# identically on both sides (torchvision's VGG weights don't exist in this
+# image; the vgg_loss ALGEBRA itself is parity-tested in
+# test_reference_parity.py::test_living_reference_losses_match).
+# train_regressor=False: the cvbae regressor is gradient-inert for the
+# vunet (reference computes its latents under no_grad) and its own
+# training is the same Adam-on-MLP algebra the behavior lockstep covers.
+
+VB, VS, NF0, NFM = 4, 32, 8, 16
+V_STEPS = 12
+V_LR0, V_TOTAL = 5e-4, 1000.0
+V_GAMMA_STEP, V_IMAX, V_GAMMA0 = 1e-3, 0.5, 0.02
+V_NINIT = 1
+
+
+def _gen_vbatches(model, variables, seed=1):
+    """Batches + per-shape eps draws (one per latent scale per step)."""
+    # latent shapes from one traced apply with a recording stub
+    shapes = []
+    orig = jax.random.normal
+
+    def record(key, shape=(), dtype=jnp.float32):
+        shapes.append(tuple(shape))
+        return jnp.zeros(shape, dtype)
+
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(VB, VS, VS, 3), jnp.float32)
+    jax.random.normal = record
+    try:
+        model.apply(variables, x, x, rngs={"sample": jax.random.PRNGKey(0)},
+                    train=False)
+    finally:
+        jax.random.normal = orig
+    out = []
+    for _ in range(V_STEPS):
+        out.append(dict(
+            pose=rng.randn(VB, VS, VS, 3).astype(np.float32) * 0.5,
+            stick=rng.randn(VB, VS, VS, 3).astype(np.float32) * 0.5,
+            eps={s: rng.randn(*s).astype(np.float32) for s in shapes},
+        ))
+    return out
+
+
+class _ShapeEps:
+    """jax.random.normal replacement: return the pre-generated eps for the
+    requested shape (set per step)."""
+
+    def __init__(self):
+        self.table = {}
+
+    def __call__(self, key, shape=(), dtype=jnp.float32):
+        return jnp.asarray(self.table[tuple(shape)], dtype)
+
+
+def _fake_losses_import(ref, monkeypatch):
+    import types
+
+    def fake(name, **attrs):
+        if name in sys.modules:
+            return
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    fake("kornia")
+    fake("torchvision")
+    fake("torchvision.utils", make_grid=lambda *a, **k: None)
+    fake("ignite")
+    fake("ignite.metrics", Average=object)
+    fake("ignite.engine", Events=object)
+    import lib.losses as ref_losses
+    return ref_losses
+
+
+_VGG_NAMES = ("relu1_2", "relu2_2", "relu3_2", "relu4_2", "relu5_2")
+
+
+def test_cvbae_lockstep_training_parity(ref, monkeypatch):
+    torch = ref["torch"]
+    import flax.linen as fnn
+    import models.vunets as ref_vunets
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_vunet_alter,
+        vunet_alter_reference_state_dict,
+    )
+    from behavior_driven_video_synthesis_tpu.models.vunet import VUNet
+    from behavior_driven_video_synthesis_tpu.train.vunet_exp import (
+        create_vunet_state,
+        make_cvbae_train_step,
+    )
+    from behavior_driven_video_synthesis_tpu.core.config import Config
+
+    ref_losses = _fake_losses_import(ref, monkeypatch)
+
+    class FakePyramid(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            feats = {"input": x}
+            h = x
+            for name in _VGG_NAMES:
+                h = fnn.avg_pool(h, (2, 2), (2, 2))
+                feats[name] = h
+            return feats
+
+    class FakeVGGTorch(torch.nn.Module):
+        loss_weights = [1.0] * 6
+
+        def forward(self, x):
+            d = {"input": x}
+            h = x
+            for name in _VGG_NAMES:
+                h = torch.nn.functional.avg_pool2d(h, 2)
+                d[name] = h
+            return d
+
+    model = VUNet(spatial_size=VS, nf_start=NF0, nf_max=NFM,
+                  variant="alter", dropout_prob=0.0, dtype=jnp.float32)
+    vgg = FakePyramid()
+    config = Config({
+        "architecture": {"cvae": False},
+        "training": {"ll_weight": 1.0, "vgg_weights": [1.0] * 6,
+                     "train_regressor": False,
+                     "gamma_step": V_GAMMA_STEP,
+                     "information_max": V_IMAX,
+                     "n_init_batches": V_NINIT,
+                     "dropout_rng": "threefry"},
+    })
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((VB, VS, VS, 3), jnp.float32)
+    init_vars = model.init({"params": key, "sample": key}, x0, x0)
+    batches = _gen_vbatches(model, init_vars)
+
+    # ------------------------------------------------------- torch reference
+    sd0 = vunet_alter_reference_state_dict(
+        init_vars, n_scales=model.n_scales, n_scales_x=model.n_scales_x)
+    refm = ref_vunets.VunetAlter(
+        n_channels_x=3, spatial_size=VS, n_scales=0, bottleneck_factor=2,
+        box_factor=2, n_latent_scales=2, conv_layer_type="l1",
+        nf_start=NF0, nf_max=NFM, subpixel_upsampling=True,
+        dropout_prob=0.0)
+    refm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+         for k, v in sd0.items()}, strict=True)
+    refm.train()
+    fake_vgg = FakeVGGTorch()
+    opt = _DataOpt(torch, refm.parameters(), V_LR0, "adam",
+                   betas=(0.5, 0.9))
+    eps_nchw = {"cur": None}
+    orig_randn_like = torch.randn_like
+
+    def patched_randn_like(t, **kw):
+        arr = eps_nchw["cur"][tuple(t.shape)]
+        return torch.from_numpy(arr)
+
+    torch.randn_like = patched_randn_like
+    gamma = V_GAMMA0
+    m_ref = []
+    try:
+        for n, bt in enumerate(batches):
+            opt.lr = V_LR0 * max(0.0, 1.0 - n / V_TOTAL)
+            eps_nchw["cur"] = {
+                (s[0], s[3], s[1], s[2]):
+                    np.transpose(e, (0, 3, 1, 2)).copy()
+                for s, e in bt["eps"].items()}
+            pose = torch.from_numpy(
+                np.transpose(bt["pose"], (0, 3, 1, 2)).copy())
+            stick = torch.from_numpy(
+                np.transpose(bt["stick"], (0, 3, 1, 2)).copy())
+            out_img, means, logstds, _ = refm(pose, stick)
+            ll_dict = ref_losses.vgg_loss(fake_vgg, pose, out_img)
+            likelihood = 1.0 * torch.sum(torch.stack(
+                [ll_dict[k] for k in ll_dict], dim=0))
+            kl = ref_losses.compute_kl_with_prior(means, logstds)
+            loss = likelihood
+            # reference gate: ignite iterations are 1-based
+            if (n + 1) > V_NINIT:
+                loss = loss + torch.tensor(gamma) * kl
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            gamma = max(gamma - V_GAMMA_STEP * (V_IMAX - kl.item()), 0)
+            m_ref.append(dict(loss=loss.item(), ll=likelihood.item(),
+                              kl=kl.item(), gamma=gamma))
+    finally:
+        torch.randn_like = orig_randn_like
+    final_sd = {k: v.detach().numpy().copy()
+                for k, v in refm.state_dict().items()}
+
+    # ------------------------------------------------------------- our side
+    import optax as _optax
+    txs = {"vunet": _optax.adam(
+        _optax.linear_schedule(V_LR0, 0.0, int(V_TOTAL)),
+        b1=0.5, b2=0.9)}
+    vgg_vars = vgg.init(key, x0)
+    batch0 = {"pose_img": x0, "stickman": x0, "app_img": x0}
+    state = create_vunet_state(key, model, None, vgg, txs, batch0,
+                               gamma_init=V_GAMMA0)
+    state = state.replace(vunet=state.vunet.replace(
+        params=init_vars["params"]))
+    step_fn = make_cvbae_train_step(model, None, vgg, vgg_vars, txs, config)
+
+    eps = _ShapeEps()
+    monkeypatch.setattr(jax.random, "normal", eps)
+    m_ours = []
+    for bt in batches:
+        eps.table = bt["eps"]
+        batch = {"pose_img": jnp.asarray(bt["pose"]),
+                 "stickman": jnp.asarray(bt["stick"])}
+        batch["app_img"] = batch["pose_img"]
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
+        m_ours.append(dict(loss=float(metrics["loss"]),
+                           ll=float(metrics["likelihood_loss"]),
+                           kl=float(metrics["kl_loss"]),
+                           gamma=float(metrics["gamma"])))
+
+    for keyname in ("loss", "ll", "kl", "gamma"):
+        rel = _traj_max_rel(m_ref, m_ours, keyname)
+        assert rel < 5e-3, (
+            f"cvbae '{keyname}' trajectory diverged (max rel {rel:.2e}); "
+            f"ref={[m[keyname] for m in m_ref[:4]]} "
+            f"ours={[m[keyname] for m in m_ours[:4]]}")
+
+    # final params: ||ours - ref|| / ||ref - init|| over the whole vunet
+    ref_final = convert_vunet_alter(
+        final_sd, n_scales=model.n_scales,
+        n_scales_x=model.n_scales_x)["params"]
+    flat = lambda t: jnp.concatenate(
+        [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)])
+    move = float(jnp.linalg.norm(
+        flat(ref_final) - flat(init_vars["params"]))) + 1e-8
+    err = float(jnp.linalg.norm(
+        flat(state.vunet.params) - flat(ref_final))) / move
+    assert err < 2e-2, (
+        f"cvbae final vunet params off by {err:.2e} of training movement")
