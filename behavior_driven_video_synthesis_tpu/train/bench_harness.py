@@ -98,3 +98,73 @@ def build_cvbae_bench_step(B, S, *, dropout=None, regressor_on=True,
     step = make_cvbae_train_step(vunet, regressor, vgg, vgg_vars, txs,
                                  config)
     return state, step, batch
+
+
+def build_behavior_bench_step(B=64, T=50, K=48, n_actions=10, hid=1024,
+                              seed=0):
+    """(state, step, batch) for one behavior-cVAE train step at the
+    reference production scale (config/behavior_net.yaml:26,35: batch 64,
+    dim_hidden_b 1024, 50-frame windows) — the full step: net +
+    adversarial regressor (5 inner updates) + 3 probe classifiers +
+    gamma controller, with the experiment's optimizer stack."""
+    from ..models import ResidualBehaviorNet
+    from ..models.discriminators import SequenceDiscMichael
+    from ..models.probes import (
+        ClassifierAction,
+        ClassifierActionBeta,
+        RegressorFly,
+    )
+    from .behavior import create_behavior_state, make_behavior_train_step
+    from .state import torch_adam
+
+    config = Config({
+        "architecture": {"dim_hidden_b": hid, "cvae": False},
+        "training": {"recon_loss_weight": 2.5, "weight_regressor": 0.01,
+                     "use_regressor": True, "gamma_step": 1e-5,
+                     "information_max": 100.0},
+    })
+    model = ResidualBehaviorNet(n_kps=K, dim_hidden_b=hid)
+    regressor = RegressorFly(n_out=K, seq_length=T)
+    cls_action = ClassifierAction(n_classes=n_actions, dim=512)
+    cls_action2 = SequenceDiscMichael(layers=(2, 1, 1, 1),
+                                      out_dim=n_actions)
+    cls_beta = ClassifierActionBeta(n_classes=n_actions)
+    # the experiment's optimizer stack (experiments/behavior_net.py
+    # _make_txs; reference :288-306,334) at fixed lr
+    txs = {"net": torch_adam(1e-4),
+           "regressor": torch_adam(1e-4),
+           "cls_action": torch_adam(1e-4, weight_decay=1e-4),
+           "cls_action2": torch_adam(1e-4, weight_decay=1e-5),
+           "cls_beta": torch_adam(1e-3)}
+    rng = np.random.RandomState(seed)
+    batch = {
+        "keypoints": jnp.asarray(rng.randn(B, T + 1, K), jnp.float32),
+        "action": jnp.asarray(rng.randint(0, n_actions, B), jnp.int32),
+    }
+    state = create_behavior_state(jax.random.PRNGKey(seed), model,
+                                  regressor, cls_action, cls_action2,
+                                  cls_beta, txs, batch, T)
+    step = make_behavior_train_step(model, regressor, cls_action,
+                                    cls_action2, cls_beta, txs, config, T)
+    return state, step, batch
+
+
+def build_mtvae_bench_step(B=256, T=60, K=48, seed=0):
+    """(state, step, batch) for one MTVAE train step at the reference
+    production scale (config/mt_vae.yaml:13,24,28: seq 60, n_cond 10,
+    batch 256; model dims 1024/512)."""
+    from ..models.mtvae import MTVAE
+    from .mtvae_exp import create_mtvae_state, make_mtvae_train_step
+    from .state import torch_adam
+
+    config = Config({"architecture": {}, "training": {}})
+    model = MTVAE(n_in=K, n_cond=10)
+    tx = torch_adam(1e-4)
+    rng = np.random.RandomState(seed)
+    batch = {
+        "keypoints": jnp.asarray(rng.randn(B, T, K), jnp.float32),
+        "paired_keypoints": jnp.asarray(rng.randn(B, T, K), jnp.float32),
+    }
+    state = create_mtvae_state(jax.random.PRNGKey(seed), model, tx, batch)
+    step = make_mtvae_train_step(model, tx, config, 100000)
+    return state, step, batch, tx

@@ -59,6 +59,20 @@ CONV_ENVELOPE_NOTE = ("sum-of-isolated-conv floor over the TRUE du+dd "
 # rate is ~81 TF/s, not 10.3.
 CONV_FLOPS_PER_FRAME_G = 33.27
 
+# The int8 serving preset's OWN conv envelope (per_conv_audit --quant
+# int8_static --quant-max-hw 128, SERVING_GAP.json
+# "per_conv_int8_static_hw128", 2026-08-21): the preset's true conv
+# inventory (int8 convs at H<=128, bf16 at 256px) timed isolated at the
+# exact serving shapes — 384.8 ms floor over 33.27 TFLOP -> 86.45 TF/s.
+# Fixes VERDICT r4 weak #3's accounting gap: the int8 row previously
+# divided by the BF16 floor.  The compiled int8 stage measured 1.002x
+# this floor — exactly at its own conv speed-of-light.
+CONV_ENVELOPE_INT8_TFLOPS = 86.45
+CONV_ENVELOPE_INT8_NOTE = ("sum-of-isolated-conv floor over the int8 "
+                           "preset's OWN conv inventory (per_conv_audit "
+                           "--quant int8_static --quant-max-hw 128, "
+                           "SERVING_GAP.json per_conv_int8_static_hw128)")
+
 # Train-step conv envelope: total conv FLOPs of the cvbae step (fwd +
 # dgrad + wgrad, B=12/256px) divided by the sum of each conv's isolated
 # best-case XLA time at identical shape — measured by
@@ -261,9 +275,15 @@ def bench_pipeline(quant=None, quant_max_hw=None):
         # cost_analysis (which may undercount chunked programs) and emit
         # no envelope fields rather than wrong ones.
         flops_total = B * T * n_iters * CONV_FLOPS_PER_FRAME_G * 1e9
-        mfu = _mfu_fields(flops_total, dt,
-                          envelope_tflops=CONV_ENVELOPE_TFLOPS,
-                          envelope_note=CONV_ENVELOPE_NOTE)
+        # the envelope denominator must match the program's OWN conv mix:
+        # the int8 preset runs a different (faster) inventory than bf16
+        if quant and quant != "none":
+            env, env_note = (CONV_ENVELOPE_INT8_TFLOPS,
+                             CONV_ENVELOPE_INT8_NOTE)
+        else:
+            env, env_note = CONV_ENVELOPE_TFLOPS, CONV_ENVELOPE_NOTE
+        mfu = _mfu_fields(flops_total, dt, envelope_tflops=env,
+                          envelope_note=env_note)
         mfu["flops_note"] = ("conv-only audited jaxpr-inventory FLOPs "
                              "(33.27 GFLOP/frame at 256px serving); NOT "
                              "comparable to cost_analysis-based mfu rows")
@@ -334,17 +354,18 @@ def bench_cvbae_train():
         "metric": f"cvbae_{S}px_train_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        # anchor: the round-2 profile_train.py measurement (110.7 img/s at
-        # B=12).  CVBAE_RECONCILE.json reconciles the r3 regression: the
-        # anchor harness ran dropout OFF while this row runs the reference
-        # production dropout_prob=0.05, whose threefry masks cost ~30% of
-        # the step; round 4 ships dropout_rng=rbg to win most of that
-        # back (packed 8-bit masks, u32-threshold masks with backward
-        # regeneration, and threefry-fused masks were all tried and
-        # measured no better — CVBAE_RECONCILE.json "decision").
-        "vs_baseline": round(ips / 110.7, 4),
-        "baseline_note": "ratio to the round-2 profile_train sweep "
-                         "(110.7 img/s, B=12, dropout off); config map in "
+        # anchor: BENCH_r04's recording of this SAME config (shipped
+        # production default incl. dropout, 109.91 img/s) — like-for-like
+        # ratio-to-last-known-good (VERDICT r4 weak #6; the old anchor
+        # divided by the r2 dropout-OFF harness, a cross-config ratio).
+        # Full config<->rate map in CVBAE_RECONCILE.json; the round-5
+        # Pallas fused act+dropout arm measured SLOWER (100.5) and the
+        # dropout representation question is closed
+        # (ops/pallas/elu_dropout.py docstring).
+        "vs_baseline": round(ips / 109.91, 4),
+        "baseline_note": "ratio to BENCH_r04's same-config recording "
+                         "(109.91 img/s, shipped production default "
+                         "incl. dropout); config map in "
                          "CVBAE_RECONCILE.json",
         "config": ("r3-era row: bf16 random-VGG, no regressor" if use_vgg
                    else "shipped production default: laplacian perceptual "
@@ -352,6 +373,137 @@ def bench_cvbae_train():
         **_mfu_fields(_loop_flops(compiled, n_iters), dt,
                       envelope_tflops=CVBAE_TRAIN_ENVELOPE_TFLOPS,
                       envelope_note=CVBAE_TRAIN_ENVELOPE_NOTE),
+    }
+
+
+def _train_floor(name):
+    """Envelope fields for a training row from TRAIN_FLOORS.json — the
+    committed examples/train_floors.py audit artifact (scan-expanded
+    dot+conv inventory, isolated two-point timings).  None when the
+    artifact is missing or lacks the workload."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "TRAIN_FLOORS.json")
+    try:
+        with open(path) as f:
+            return json.load(f)[name]["summary"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _floor_mfu(floor, dt, n_iters, fallback_flops=None):
+    """MFU fields for a train row: FLOPs from the audited scan-expanded
+    inventory (cost_analysis counts scan bodies ONCE and would undercount
+    the LSTM loops T-fold), envelope from the isolated-op floor."""
+    if floor is None:
+        mfu = _mfu_fields(fallback_flops, dt)
+        mfu["flops_note"] = ("cost_analysis FLOPs (undercounts scan "
+                             "bodies); run examples/train_floors.py for "
+                             "the audited inventory + envelope")
+        return mfu
+    flops_total = floor["flops_per_step_g"] * 1e9 * n_iters
+    mfu = _mfu_fields(flops_total, dt,
+                      envelope_tflops=floor["envelope_tflops"],
+                      envelope_note=floor["note"])
+    mfu["flops_note"] = ("audited scan-expanded dot+conv inventory "
+                         "(TRAIN_FLOORS.json)")
+    return mfu
+
+
+def bench_behavior_train():
+    """Behavior-cVAE train-step throughput at the reference production
+    scale (batch 64, dim_hidden_b 1024, 50-frame windows — config/
+    behavior_net.yaml:26,35): the FULL step (net + 5 adversarial-regressor
+    inner updates + 3 probe classifiers + gamma controller)."""
+    import jax
+    import jax.numpy as jnp
+    from behavior_driven_video_synthesis_tpu.train.bench_harness import (
+        build_behavior_bench_step,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    state, step, batch = build_behavior_bench_step(B=B)
+    key = jax.random.PRNGKey(0)
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def loop(state, batch, k0):
+        def body(i, carry):
+            st, k = carry
+            st, _ = step(st, batch, k)
+            return st, jax.random.fold_in(k, i)
+        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
+        return st
+
+    compiled = jax.jit(loop, donate_argnums=(0,)).lower(
+        state, batch, key).compile()
+    st = compiled(state, batch, key)
+    float(jnp.sum(st.gamma))
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        st = compiled(st, batch, jax.random.fold_in(key, r))
+        float(jnp.sum(st.gamma))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    sps = B * n_iters / dt
+    return {
+        "metric": "behavior_cvae_train_throughput",
+        "value": round(sps, 2),
+        "unit": "sequences/sec/chip",
+        # anchor: this row's first chip measurement (round 5) — ratio
+        # reads "vs last known good" from r5 on
+        "vs_baseline": round(sps / 8691.69, 4),
+        "baseline_note": "ratio to the round-5 first chip recording "
+                         "(8,691.69 seq/s, B=64/T=50/HID=1024, full "
+                         "step; frac_of_envelope 1.20 vs the HBM "
+                         "roofline floor, TRAIN_FLOORS.json)",
+        **_floor_mfu(_train_floor("behavior_train"), dt, n_iters),
+    }
+
+
+def bench_mtvae_train():
+    """MTVAE train-step throughput at the reference production scale
+    (batch 256, seq 60, n_cond 10, dims 1024/512 — config/
+    mt_vae.yaml:13,24,28)."""
+    import jax
+    import jax.numpy as jnp
+    from behavior_driven_video_synthesis_tpu.train.bench_harness import (
+        build_mtvae_bench_step,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    state, step, batch, _tx = build_mtvae_bench_step(B=B)
+    key = jax.random.PRNGKey(0)
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    def loop(state, batch, k0):
+        def body(i, carry):
+            st, k = carry
+            st, _ = step(st, batch, k)
+            return st, jax.random.fold_in(k, i)
+        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
+        return st
+
+    compiled = jax.jit(loop, donate_argnums=(0,)).lower(
+        state, batch, key).compile()
+    st = compiled(state, batch, key)
+    float(jnp.sum(st.step))
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        st = compiled(st, batch, jax.random.fold_in(key, r))
+        float(jnp.sum(st.step))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    sps = B * n_iters / dt
+    return {
+        "metric": "mtvae_train_throughput",
+        "value": round(sps, 2),
+        "unit": "sequences/sec/chip",
+        "vs_baseline": round(sps / 13525.9, 4),
+        "baseline_note": "ratio to the round-5 first chip recording "
+                         "(13,525.9 seq/s, B=256/T=60/dim=1024; 0.72 of "
+                         "the roofline floor, TRAIN_FLOORS.json)",
+        **_floor_mfu(_train_floor("mtvae_train"), dt, n_iters),
     }
 
 
@@ -478,7 +630,8 @@ def bench_flow_train():
         "vs_baseline": round(sps / 1904.08, 4),
         "baseline_note": "ratio to BENCH_r03 recorded 1,904.08 seq/s "
                          "(same shapes, donated state)",
-        **_mfu_fields(_loop_flops(compiled, n_iters), dt),
+        **_floor_mfu(_train_floor("flow_train"), dt, n_iters,
+                     fallback_flops=_loop_flops(compiled, n_iters)),
     }
 
 
@@ -559,6 +712,8 @@ def main():
         "pipeline": bench_pipeline,
         "train": bench_cvbae_train,
         "behavior": bench_behavior,
+        "behaviortrain": bench_behavior_train,
+        "mtvaetrain": bench_mtvae_train,
         "flowtrain": bench_flow_train,
         "vunet": bench_vunet,
     }
@@ -581,8 +736,13 @@ def main():
     _ROUND_PARTIAL.update(head)
     print(f"# pipeline(int8 preset) done: {head['value']} f/s",
           file=sys.stderr, flush=True)
+    # the full training-family matrix (VERDICT r4 item 4): every row is
+    # recorded; if the relay wedges mid-run the watchdog emits whatever
+    # finished plus an explicit note of what was dropped
     extras = []
-    for fn in (bench_pipeline, bench_cvbae_train, bench_flow_train):
+    for fn in (bench_pipeline, bench_cvbae_train, bench_flow_train,
+               bench_behavior_train, bench_mtvae_train, bench_behavior,
+               bench_vunet):
         row = fn()
         extras.append(row)
         _ROUND_PARTIAL["extra_metrics"] = extras

@@ -100,6 +100,7 @@ def conv_inventory(fn, *args):
             inv[sig] = {
                 "lhs": list(lhs.shape), "rhs": list(rhs.shape),
                 "out": list(out_shape), "lhs_dtype": str(lhs.dtype),
+                "rhs_dtype": str(rhs.dtype),
                 "out_dtype": str(out.dtype),
                 "strides": list(p["window_strides"]),
                 "padding": [list(q) for q in p["padding"]],
@@ -128,8 +129,14 @@ def time_conv(row, target_s=0.08):
     exactly."""
     p = row["_params"]
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(*row["lhs"]) * 0.1, row["lhs_dtype"])
-    w = jnp.asarray(rng.randn(*row["rhs"]) * 0.1, row["lhs_dtype"])
+
+    def make_operand(shape, dtype):
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            return jnp.asarray(rng.randint(-100, 100, shape), dtype)
+        return jnp.asarray(rng.randn(*shape) * 0.1, dtype)
+
+    x = make_operand(row["lhs"], row["lhs_dtype"])
+    w = make_operand(row["rhs"], row.get("rhs_dtype", row["lhs_dtype"]))
 
     def make_loop(n_iters):
         def loop(x, w):
@@ -170,7 +177,7 @@ def time_conv(row, target_s=0.08):
 
 # ---------------------------------------------------------------- stage
 
-def build_synth():
+def build_synth(quant="none", quant_max_hw=0):
     from behavior_driven_video_synthesis_tpu.data.human36m import (
         detailed_joint_model,
     )
@@ -187,6 +194,7 @@ def build_synth():
     behavior = ResidualBehaviorNet(n_kps=K_USE, dim_hidden_b=HID,
                                    dtype=jnp.bfloat16)
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
+                  quant=quant, quant_max_hw=quant_max_hw,
                   dtype=jnp.bfloat16)
     flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
                       n_flows=15)
@@ -221,7 +229,17 @@ def build_synth():
         m.reshape((n_pad // cs, cs) + m.shape[1:]) for m in means0)
     s_chunked = flat_stick0.reshape((n_pad // cs, cs)
                                     + flat_stick0.shape[1:])
-    return vunet, params["vunet"], m_chunked, s_chunked, cs, n_pad // cs
+    quant_coll = None
+    if quant == "int8_static":
+        from behavior_driven_video_synthesis_tpu.models.vunet import (
+            calibrate_quant,
+        )
+
+        quant_coll = calibrate_quant(
+            vunet, {"params": params["vunet"]},
+            [m[0][:8] for m in m_chunked], s_chunked[0][:8])["quant"]
+    return (vunet, params["vunet"], m_chunked, s_chunked, cs,
+            n_pad // cs, quant_coll)
 
 
 def build_cvbae_train():
@@ -388,6 +406,10 @@ def main():
     ap.add_argument("--target", choices=["synth", "cvbae_train",
                                          "attic_rnb"],
                     default="synth")
+    ap.add_argument("--quant", default="none",
+                    help="int8_static to audit the TPU serving preset's "
+                         "program (pair with --quant-max-hw)")
+    ap.add_argument("--quant-max-hw", type=int, default=0)
     args = ap.parse_args()
     root = os.path.join(os.path.dirname(__file__), "..")
     if args.target == "cvbae_train":
@@ -399,15 +421,19 @@ def main():
         return
     args.out = args.out or os.path.join(root, "SERVING_GAP.json")
 
-    vunet, vp, m_chunked, s_chunked, cs, n_chunks = build_synth()
-    print(f"chunk={cs} n_chunks={n_chunks}", flush=True)
+    vunet, vp, m_chunked, s_chunked, cs, n_chunks, quant_coll = \
+        build_synth(args.quant, args.quant_max_hw)
+    print(f"chunk={cs} n_chunks={n_chunks} quant={args.quant}", flush=True)
+    variables = {"params": vp}
+    if quant_coll is not None:
+        variables["quant"] = quant_coll
 
-    def one_chunk(vp, m_c, s_c):
-        return vunet.apply({"params": vp}, list(m_c), s_c,
+    def one_chunk(vv, m_c, s_c):
+        return vunet.apply(vv, list(m_c), s_c,
                            method=vunet.transfer_cached)
 
     m0 = tuple(m[0] for m in m_chunked)
-    inv = conv_inventory(one_chunk, vp, m0, s_chunked[0])
+    inv = conv_inventory(one_chunk, variables, m0, s_chunked[0])
     inv.sort(key=lambda r: -r["flops_each"] * r["count"])
     total_flops = sum(r["flops_each"] * r["count"] for r in inv)
     print(f"{len(inv)} distinct convs, "
@@ -427,10 +453,10 @@ def main():
         del r["_params"]
 
     # full synth stage, same protocol as serving_gap_audit stage 3
-    def synth_loop(vp, m_chunked, s_chunked, k0):
+    def synth_loop(vv, m_chunked, s_chunked, k0):
         def synth_chunk(args_):
             m_c, s_c = args_
-            return vunet.apply({"params": vp}, list(m_c), s_c,
+            return vunet.apply(vv, list(m_c), s_c,
                                method=vunet.transfer_cached)
 
         def body(i, carry):
@@ -445,13 +471,13 @@ def main():
         return acc
 
     key = jax.random.PRNGKey(1)
-    compiled = jax.jit(synth_loop).lower(vp, m_chunked, s_chunked,
+    compiled = jax.jit(synth_loop).lower(variables, m_chunked, s_chunked,
                                          key).compile()
-    float(compiled(vp, m_chunked, s_chunked, key))
+    float(compiled(variables, m_chunked, s_chunked, key))
     times = []
     for r_ in range(3):
         t0 = time.perf_counter()
-        float(compiled(vp, m_chunked, s_chunked,
+        float(compiled(variables, m_chunked, s_chunked,
                        jax.random.fold_in(key, r_)))
         times.append(time.perf_counter() - t0)
     synth_ms = min(times) / N_ITERS * 1e3
@@ -480,7 +506,7 @@ def main():
         runs = 2
         with trace(tdir):
             for r_ in range(runs):
-                float(compiled(vp, m_chunked, s_chunked,
+                float(compiled(variables, m_chunked, s_chunked,
                                jax.random.fold_in(key, 10 + r_)))
         rows = device_op_table(tdir, runs=runs)
         buckets, conv_by_shape, detail = classify_profile(rows, runs)
@@ -503,7 +529,9 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
-    data["per_conv"] = {"inventory": inv, "summary": summary,
+    sect = "per_conv" if args.quant == "none" else \
+        f"per_conv_{args.quant}_hw{args.quant_max_hw}"
+    data[sect] = {"inventory": inv, "summary": summary,
                         "profile": profile,
                         "batch": B, "spatial": S, "length": T}
     with open(path, "w") as f:

@@ -97,13 +97,15 @@ def test_graft_entry_dryrun_multichip():
 
 
 # Wall-clock ceiling for the DEFAULT dryrun matrix (BDVS_DRYRUN_FULL
-# unset) on this 1-vCPU box.  The r03 driver killed the run at ~500s
-# (MULTICHIP_r03 rc=124 after the matrix grew to 12 layouts), so any
-# matrix growth must keep the default run comfortably below that; the
-# trimmed 10-layout matrix measures ~300s here.  If this assertion
-# fires, cut compile cost (gate extras behind BDVS_DRYRUN_FULL, shrink
-# model dims) BEFORE the driver artifact goes red again.
-DRYRUN_BUDGET_S = 420
+# unset) on this 1-vCPU box.  Calibration (round 5): the matrix measures
+# ~245s locally after the compile-cost cuts (backend optimization level
+# 0 for every layout compile + the cvbae family at 16px + bs=8); the
+# MEASURED driver-vs-local factor is ~1.5x (r4: 296s local <-> 444.7s
+# driver), and the driver kills at ~500s — so 280s local protects ~420s
+# driver with real headroom on both sides.  If this assertion fires, cut
+# compile cost (gate extras behind BDVS_DRYRUN_FULL, shrink model dims)
+# BEFORE the driver artifact goes red again.
+DRYRUN_BUDGET_S = 280
 
 
 @pytest.mark.e2e
