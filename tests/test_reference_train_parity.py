@@ -749,3 +749,92 @@ def test_cvbae_lockstep_training_parity(ref, monkeypatch):
         flat(state.vunet.params) - flat(ref_final))) / move
     assert err < 2e-2, (
         f"cvbae final vunet params off by {err:.2e} of training movement")
+
+
+# ====================================================================== flow
+# Flow-stage gradient lockstep (the third training family): N Adam steps
+# of the latent flow on fixed behavior latents, reference only_flow body
+# (experiments/behavior_net.py:704-714: gauss, logdet = latent_flow(b);
+# FlowLoss; Adam(flow_lr*batch, betas=(0.5,0.9), weight_decay=cfg)).
+# Exercises ActNorm/affine-coupling/shuffle BACKWARD + the flow optimizer
+# semantics (torch-Adam L2-in-grad wd, the one reference optimizer that
+# actually uses weight_decay).
+
+F_B, F_C, F_NFLOWS = 16, 32, 4
+F_STEPS = 15
+F_LR, F_WD = 1e-3, 1e-5
+
+
+def test_flow_lockstep_training_parity(ref, monkeypatch):
+    torch = ref["torch"]
+    import models.flow.simple_flow as sf
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_latent_flow,
+    )
+    from behavior_driven_video_synthesis_tpu.models.flows import (
+        LatentFlow,
+        flow_loss,
+    )
+
+    ref_losses = _fake_losses_import(ref, monkeypatch)
+
+    torch.manual_seed(0)
+    refm = sf.UnsupervisedTransformer2(
+        flow_in_channels=F_C, flow_mid_channels=2 * F_C,
+        flow_hidden_depth=2, n_flows=F_NFLOWS)
+    rng = np.random.RandomState(3)
+    with torch.no_grad():  # data-dependent ActNorm init
+        refm(torch.from_numpy(rng.randn(64, F_C).astype(np.float32)))
+    sd0 = {k: v.detach().numpy().copy()
+           for k, v in refm.state_dict().items()}
+    batches = [rng.randn(F_B, F_C).astype(np.float32)
+               for _ in range(F_STEPS)]
+
+    floss = ref_losses.FlowLoss()
+    opt = _DataOpt(torch, refm.parameters(), F_LR, "adam",
+                   weight_decay=F_WD, betas=(0.5, 0.9))
+    m_ref = []
+    for b in batches:
+        z, logdet = refm(torch.from_numpy(b))
+        # reference only_flow passes the (B, C, 1, 1) flow output into
+        # FlowLoss unsqueezed (behavior_net.py:705-706)
+        loss, _log = floss(z, logdet)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        m_ref.append(dict(loss=loss.item()))
+    final_sd = {k: v.detach().numpy().copy()
+                for k, v in refm.state_dict().items()}
+
+    flow = LatentFlow(flow_in_channels=F_C, flow_mid_channels=2 * F_C,
+                      n_flows=F_NFLOWS)
+    variables = convert_latent_flow(sd0, F_NFLOWS)
+    params, buffers = variables["params"], variables["buffers"]
+    tx = torch_adam(F_LR, b1=0.5, b2=0.9, weight_decay=F_WD)
+    opt_state = tx.init(params)
+    m_ours = []
+    for b in batches:
+        def loss_fn(p):
+            z, logdet = flow.apply({"params": p, "buffers": buffers},
+                                   jnp.asarray(b))
+            return flow_loss(z, logdet)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, u)
+        m_ours.append(dict(loss=float(loss)))
+
+    rel = _traj_max_rel(m_ref, m_ours, "loss")
+    assert rel < 2e-3, (
+        f"flow loss trajectory diverged (max rel {rel:.2e}); "
+        f"ref={[m['loss'] for m in m_ref[:5]]} "
+        f"ours={[m['loss'] for m in m_ours[:5]]}")
+
+    ref_final = convert_latent_flow(final_sd, F_NFLOWS)["params"]
+    init_p = convert_latent_flow(sd0, F_NFLOWS)["params"]
+    flat = lambda t: jnp.concatenate(
+        [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)])
+    move = float(jnp.linalg.norm(flat(ref_final) - flat(init_p))) + 1e-8
+    err = float(jnp.linalg.norm(flat(params) - flat(ref_final))) / move
+    assert err < 2e-2, (
+        f"flow final params off by {err:.2e} of training movement")
