@@ -135,6 +135,26 @@ class ShapePoseExperiment(Experiment):
             variables = vgg.init(key, x)
         return vgg, variables
 
+    def _make_txs(self):
+        """Reference optimizers (shape_and_pose_net.py:237-246,270,
+        311-319): vunet Adam(lr, betas cfg) with lr linearly decayed to 0
+        over the full schedule (adjust_lr, applied per iteration);
+        regressor Adam(1e-3).  ONE constructor for training and the
+        inference restore template — the schedule changes the optax
+        opt_state STRUCTURE (ScaleByScheduleState vs EmptyState), so a
+        template built with a different tx cannot restore the
+        checkpoint."""
+        cfg = self.config
+        lr0 = float(cfg.training.get("lr", 5e-4))
+        total_steps = int(cfg.training.get("end_iteration", 150000))
+        return {
+            "vunet": optax.adam(
+                optax.linear_schedule(lr0, 0.0, total_steps),
+                b1=float(cfg.training.get("adam_betas", (0.5, 0.9))[0]),
+                b2=float(cfg.training.get("adam_betas", (0.5, 0.9))[1])),
+            "regressor": optax.adam(1e-3),
+        }
+
     def run_training(self):
         cfg = self.config
         train_loader, train_ds = self._build_data("train")
@@ -146,19 +166,7 @@ class ShapePoseExperiment(Experiment):
         ks = KeySeq(int(cfg.general.get("seed", 42)))
         vgg, vgg_vars = self._build_vgg(spatial, ks())
 
-        # reference optimizers (shape_and_pose_net.py:237-246,270,311-319):
-        # vunet Adam(lr, betas cfg) with lr linearly decayed to 0 over the
-        # full schedule (adjust_lr, applied per iteration); regressor
-        # Adam(1e-3)
-        lr0 = float(cfg.training.get("lr", 5e-4))
-        total_steps = int(cfg.training.get("end_iteration", 150000))
-        txs = {
-            "vunet": optax.adam(
-                optax.linear_schedule(lr0, 0.0, total_steps),
-                b1=float(cfg.training.get("adam_betas", (0.5, 0.9))[0]),
-                b2=float(cfg.training.get("adam_betas", (0.5, 0.9))[1])),
-            "regressor": optax.adam(1e-3),
-        }
+        txs = self._make_txs()
         disc_model = None
         if bool(cfg.training.get("use_gan", False)):
             from ..train.gan import build_discriminator
@@ -417,7 +425,7 @@ class ShapePoseExperiment(Experiment):
         ks = KeySeq(int(cfg.general.get("seed", 42)))
         vgg, _ = self._build_vgg(spatial, ks())
         loader, _ = self._build_data("test")
-        txs = {"vunet": optax.adam(1e-4), "regressor": optax.adam(1e-4)}
+        txs = self._make_txs()
         sample = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
         template = create_vunet_state(ks(), vunet, regressor, vgg, txs,
                                       sample)

@@ -346,8 +346,9 @@ def test_grad_accum_matches_manual_average():
     key = jax.random.PRNGKey(0)
     state0 = create_vunet_state(key, vunet, None, vgg, txs, batch,
                                 gamma_init=0.1)
-    # state.step starts at 0 == n_init_batches, so the KL term is OFF this
-    # step (jnp.where(step > n_init, ...)); keep the oracle consistent
+    # state.step starts at 0 == n_init_batches, so the KL term is ON this
+    # step (jnp.where(step >= n_init, ...) — the reference's 1-based
+    # "iteration > n_init_batches" gate); keep the oracle consistent
     step = jax.jit(make_cvbae_train_step(vunet, None, vgg, vgg_vars, txs,
                                          config))
     step_key = jax.random.PRNGKey(7)
@@ -364,7 +365,7 @@ def test_grad_accum_matches_manual_average():
                           vgg.apply(vgg_vars, out.astype(t.dtype)),
                           [1.0] * 6).values())
         kl = compute_kl_with_prior(means, logstds)
-        return ll + jnp.where(state0.step > 0, state0.gamma * kl, 0.0)
+        return ll + jnp.where(state0.step >= 0, state0.gamma * kl, 0.0)
 
     msz = B // ACC
     g_acc = None
