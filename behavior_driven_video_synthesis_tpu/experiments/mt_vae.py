@@ -11,6 +11,7 @@ from ..data.loader import prefetch_iter
 from ..metrics import sequence_sample_metrics
 from ..models.mtvae import MTVAE
 from ..train.mtvae_exp import create_mtvae_state, make_mtvae_train_step
+from ..train.state import torch_adam
 from .base import Experiment
 from .data_factory import build_sequence_data
 from .eval_protocol import cross_transfer_metrics
@@ -18,10 +19,13 @@ from .eval_protocol import cross_transfer_metrics
 
 class MTVAEExperiment(Experiment):
     def _make_tx(self):
-        return optax.adamw(float(self.config.training.get("lr_init", 1e-4)),
-                           weight_decay=float(
-                               self.config.training.get("weight_decay",
-                                                        0.0)))
+        # reference: torch Adam(lr_init, weight_decay) — L2-IN-GRAD decay
+        # (mt_vae.py:261-263; the yaml's wd is 1e-12, numerically nil but
+        # torch-Adam semantics, not decoupled AdamW)
+        return torch_adam(float(self.config.training.get("lr_init", 1e-4)),
+                          weight_decay=float(
+                              self.config.training.get("weight_decay",
+                                                       0.0)))
 
     def run_training(self):
         cfg = self.config
