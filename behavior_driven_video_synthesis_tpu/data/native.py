@@ -252,7 +252,12 @@ def jpeg_orientation(data: bytes):
             # segment is present but unparseable, so the caller skips the
             # fast path.
             tiff = i + 10
-            seg_end = i + 2 + seg_len
+            # clamp to the actual stream: an APP1 whose claimed length
+            # overruns the file must read as malformed (0 sentinel), not
+            # as EXIF-absent via zero-length slices
+            seg_end = min(i + 2 + seg_len, n)
+            if i + 2 + seg_len > n:
+                return 0
             try:
                 if data[tiff:tiff + 2] == b"II":
                     endian = "little"

@@ -591,28 +591,33 @@ class VunetRNB(nn.Module):
         if self.dropout_impl == "bits":
             return BitsDropout(self.dropout_prob,
                                deterministic=not train)
-        if self.dropout_impl not in ("flax", "pallas"):
+        if self.dropout_impl not in ("flax", "pallas", "pallas_sharded"):
             raise ValueError(
                 f"unknown dropout_impl {self.dropout_impl!r}; expected "
-                "'flax', 'packed', 'bits', or 'pallas'")
+                "'flax', 'packed', 'bits', 'pallas', or 'pallas_sharded'")
         return nn.Dropout(self.dropout_prob, deterministic=not train)
 
     def _fused_act_dropout(self):
         """act+dropout as ONE call when dropout_impl == 'pallas': the
         fused in-register-PRNG kernel (ops/pallas/elu_dropout.py) on a
         single TPU, the equivalent XLA elu + bits_dropout composition
-        elsewhere (CPU tests, GSPMD meshes — a Mosaic custom call is not
-        partitionable).  None when the site doesn't qualify: the kernel
-        computes ELU specifically, so a custom act_fn or activate=False
-        keeps the unfused path."""
-        if (self.dropout_impl != "pallas" or self.act_fn is not None
-                or not self.activate):
+        elsewhere (CPU tests).  A Mosaic custom call is NOT partitionable
+        by GSPMD, so multi-chip train steps must use
+        'pallas_sharded' — same fused semantics, but forced onto the XLA
+        composition so the step shards (elu_dropout(sharded=True)).
+        None when the site doesn't qualify: the kernel computes ELU
+        specifically, so a custom act_fn or activate=False keeps the
+        unfused path."""
+        if (self.dropout_impl not in ("pallas", "pallas_sharded")
+                or self.act_fn is not None or not self.activate):
             return None
         from .pallas.elu_dropout import elu_dropout
 
+        sharded = self.dropout_impl == "pallas_sharded"
+
         def fused(v):
             return elu_dropout(v, self.make_rng("dropout"),
-                               self.dropout_prob)
+                               self.dropout_prob, sharded=sharded)
         return fused
 
     @nn.compact

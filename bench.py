@@ -325,30 +325,15 @@ def bench_cvbae_train():
         features=jnp.bfloat16 if use_vgg else "laplacian")
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # state donation + scalar-fetch completion + min-of-3: the shared
+    # protocol (core.timing.time_step_loop; undonated measured ~20%
+    # slower at the 630M scale, and the real drivers donate)
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        time_step_loop,
+    )
 
-    def loop(state, batch, k0):
-        def body(i, carry):
-            st, k = carry
-            st, _ = step(st, batch, k)
-            return st, jax.random.fold_in(k, i)
-        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
-        return st
-
-    # donate the train state exactly like the training drivers and
-    # examples/profile_train.py do: without donation each call allocates +
-    # copies a fresh output state (params + adam moments), which measured
-    # ~20% slower than the donated path the real training loop runs
-    compiled = jax.jit(loop, donate_argnums=(0,)).lower(
-        state, batch, key).compile()
-    st = compiled(state, batch, key)
-    float(jnp.sum(st.gamma))  # force
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        st = compiled(st, batch, jax.random.fold_in(key, r))
-        float(jnp.sum(st.gamma))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt, _ = time_step_loop(step, state, batch, key, n_iters,
+                           fetch=lambda st: jnp.sum(st.gamma))
     ips = B * n_iters / dt
     return {
         "metric": f"cvbae_{S}px_train_throughput",
@@ -390,10 +375,19 @@ def _train_floor(name):
         return None
 
 
-def _floor_mfu(floor, dt, n_iters, fallback_flops=None):
+def _floor_mfu(floor, dt, n_iters, fallback_flops=None, batch=None):
     """MFU fields for a train row: FLOPs from the audited scan-expanded
     inventory (cost_analysis counts scan bodies ONCE and would undercount
-    the LSTM loops T-fold), envelope from the isolated-op floor."""
+    the LSTM loops T-fold), envelope from the isolated-op floor.
+
+    ``batch``: the row's actual batch — the audit's FLOPs/floor are only
+    valid at the batch they were audited at, so a BENCH_BATCH override
+    falls back to cost_analysis instead of silently emitting wrong
+    per-FLOP numbers (the accounting trap VERDICT r4 weak #6 closed for
+    the cvbae row)."""
+    if floor is not None and batch is not None \
+            and floor.get("batch") not in (None, batch):
+        floor = None
     if floor is None:
         mfu = _mfu_fields(fallback_flops, dt)
         mfu["flops_note"] = ("cost_analysis FLOPs (undercounts scan "
@@ -420,44 +414,38 @@ def bench_behavior_train():
         build_behavior_bench_step,
     )
 
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        time_step_loop,
+    )
+
     B = int(os.environ.get("BENCH_BATCH", "64"))
     state, step, batch = build_behavior_bench_step(B=B)
     key = jax.random.PRNGKey(0)
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-
-    def loop(state, batch, k0):
-        def body(i, carry):
-            st, k = carry
-            st, _ = step(st, batch, k)
-            return st, jax.random.fold_in(k, i)
-        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
-        return st
-
-    compiled = jax.jit(loop, donate_argnums=(0,)).lower(
-        state, batch, key).compile()
-    st = compiled(state, batch, key)
-    float(jnp.sum(st.gamma))
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        st = compiled(st, batch, jax.random.fold_in(key, r))
-        float(jnp.sum(st.gamma))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt, _ = time_step_loop(step, state, batch, key, n_iters,
+                           fetch=lambda st: jnp.sum(st.gamma))
     sps = B * n_iters / dt
-    return {
+    row = {
         "metric": "behavior_cvae_train_throughput",
         "value": round(sps, 2),
         "unit": "sequences/sec/chip",
+        **_floor_mfu(_train_floor("behavior_train"), dt, n_iters,
+                     batch=B),
+    }
+    if B == 64:
         # anchor: this row's first chip measurement (round 5) — ratio
         # reads "vs last known good" from r5 on
-        "vs_baseline": round(sps / 8691.69, 4),
-        "baseline_note": "ratio to the round-5 first chip recording "
-                         "(8,691.69 seq/s, B=64/T=50/HID=1024, full "
-                         "step; frac_of_envelope 1.20 vs the HBM "
-                         "roofline floor, TRAIN_FLOORS.json)",
-        **_floor_mfu(_train_floor("behavior_train"), dt, n_iters),
-    }
+        row["vs_baseline"] = round(sps / 8691.69, 4)
+        row["baseline_note"] = ("ratio to the round-5 first chip "
+                                "recording (8,691.69 seq/s, B=64/T=50/"
+                                "HID=1024, full step; frac_of_envelope "
+                                "1.20 vs the HBM roofline floor, "
+                                "TRAIN_FLOORS.json)")
+    else:
+        row["vs_baseline"] = None
+        row["baseline_note"] = (f"B={B} differs from the anchored "
+                                "config (B=64); no cross-config ratio")
+    return row
 
 
 def bench_mtvae_train():
@@ -470,41 +458,34 @@ def bench_mtvae_train():
         build_mtvae_bench_step,
     )
 
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        time_step_loop,
+    )
+
     B = int(os.environ.get("BENCH_BATCH", "256"))
     state, step, batch, _tx = build_mtvae_bench_step(B=B)
     key = jax.random.PRNGKey(0)
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-
-    def loop(state, batch, k0):
-        def body(i, carry):
-            st, k = carry
-            st, _ = step(st, batch, k)
-            return st, jax.random.fold_in(k, i)
-        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
-        return st
-
-    compiled = jax.jit(loop, donate_argnums=(0,)).lower(
-        state, batch, key).compile()
-    st = compiled(state, batch, key)
-    float(jnp.sum(st.step))
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        st = compiled(st, batch, jax.random.fold_in(key, r))
-        float(jnp.sum(st.step))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt, _ = time_step_loop(step, state, batch, key, n_iters,
+                           fetch=lambda st: jnp.sum(st.step))
     sps = B * n_iters / dt
-    return {
+    row = {
         "metric": "mtvae_train_throughput",
         "value": round(sps, 2),
         "unit": "sequences/sec/chip",
-        "vs_baseline": round(sps / 13525.9, 4),
-        "baseline_note": "ratio to the round-5 first chip recording "
-                         "(13,525.9 seq/s, B=256/T=60/dim=1024; 0.72 of "
-                         "the roofline floor, TRAIN_FLOORS.json)",
-        **_floor_mfu(_train_floor("mtvae_train"), dt, n_iters),
+        **_floor_mfu(_train_floor("mtvae_train"), dt, n_iters, batch=B),
     }
+    if B == 256:
+        row["vs_baseline"] = round(sps / 13525.9, 4)
+        row["baseline_note"] = ("ratio to the round-5 first chip "
+                                "recording (13,525.9 seq/s, B=256/T=60/"
+                                "dim=1024; 0.72 of the roofline floor, "
+                                "TRAIN_FLOORS.json)")
+    else:
+        row["vs_baseline"] = None
+        row["baseline_note"] = (f"B={B} differs from the anchored "
+                                "config (B=256); no cross-config ratio")
+    return row
 
 
 def bench_behavior():

@@ -117,62 +117,32 @@ def conv_inventory(fn, *args):
 # ---------------------------------------------------------------- timing
 
 def time_conv(row, target_s=0.08):
-    """Two-point feedback-loop timing of one isolated conv.
+    """Two-point feedback-loop timing of one isolated conv — the
+    dispatch-overhead-cancelling protocol now shared in
+    core.timing.two_point_op_time (the constant ~20-30 ms relay dispatch
+    cost had inflated small-conv times ~1.3 ms each under fixed
+    n_iters; see that module's docstring)."""
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        make_operand,
+        two_point_op_time,
+    )
 
-    A single dispatch through the relay carries ~20-30 ms of constant
-    overhead; dividing one dispatch by a fixed small n_iters buries
-    sub-millisecond convs under ~1.3 ms of amortized overhead each (the
-    first audit run summed that to a 639 ms "floor" for a 109 ms step).
-    Instead time the SAME conv at two trip counts n1 < n2 (scaled so the
-    n2 run does ~target_s of real device work) and report
-    (t2 - t1) / (n2 - n1): the constant dispatch+fetch overhead cancels
-    exactly."""
     p = row["_params"]
-    rng = np.random.RandomState(0)
-
-    def make_operand(shape, dtype):
-        if np.issubdtype(np.dtype(dtype), np.integer):
-            return jnp.asarray(rng.randint(-100, 100, shape), dtype)
-        return jnp.asarray(rng.randn(*shape) * 0.1, dtype)
-
     x = make_operand(row["lhs"], row["lhs_dtype"])
     w = make_operand(row["rhs"], row.get("rhs_dtype", row["lhs_dtype"]))
 
-    def make_loop(n_iters):
-        def loop(x, w):
-            def body(i, carry):
-                acc, x = carry
-                y = lax.conv_general_dilated(
-                    x, w, p["window_strides"], p["padding"],
-                    lhs_dilation=p["lhs_dilation"],
-                    rhs_dilation=p["rhs_dilation"],
-                    dimension_numbers=p["dimension_numbers"],
-                    feature_group_count=p["feature_group_count"],
-                    precision=p["precision"],
-                    preferred_element_type=p["preferred_element_type"])
-                m = jnp.mean(y.astype(jnp.float32))
-                # feed the output back into the input so XLA cannot hoist
-                return acc + m, x * (1 + m * 1e-12).astype(x.dtype)
-            acc, _ = lax.fori_loop(0, n_iters, body, (jnp.zeros(()), x))
-            return acc
-        return loop
+    def run(x, w):
+        return lax.conv_general_dilated(
+            x, w, p["window_strides"], p["padding"],
+            lhs_dilation=p["lhs_dilation"],
+            rhs_dilation=p["rhs_dilation"],
+            dimension_numbers=p["dimension_numbers"],
+            feature_group_count=p["feature_group_count"],
+            precision=p["precision"],
+            preferred_element_type=p["preferred_element_type"])
 
-    est = max(row["flops_each"] / 20e12, 2e-5)   # assume ~20 TF/s
-    n2 = int(min(4000, max(100, round(target_s / est))))
-    n1 = max(10, n2 // 5)
-
-    def measure(n_iters):
-        compiled = jax.jit(make_loop(n_iters)).lower(x, w).compile()
-        float(compiled(x, w))
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(compiled(x, w))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    t1, t2 = measure(n1), measure(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-7)
+    return two_point_op_time(run, x, w, row["flops_each"],
+                             target_s=target_s, min_dt=1e-7)
 
 
 # ---------------------------------------------------------------- stage

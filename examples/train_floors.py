@@ -90,7 +90,10 @@ def op_inventory(fn, *args):
         if sig not in inv:
             inv[sig] = {"kind": sig[0], "lhs": list(lhs.shape),
                         "rhs": list(rhs.shape), "out": list(out.shape),
-                        "dtype": str(lhs.dtype), "flops_each": flops,
+                        "dtype": str(lhs.dtype),
+                        "rhs_dtype": str(rhs.dtype),
+                        "out_dtype": str(out.dtype),
+                        "flops_each": flops,
                         "count": 0, "_eqn": eqn}
         inv[sig]["count"] += mult
     return sorted(inv.values(),
@@ -115,41 +118,17 @@ def _run_op(eqn, x, w):
 
 
 def time_op(row, target_s=0.08):
-    """Two-point feedback-loop timing (see per_conv_audit.time_conv)."""
+    """Two-point feedback-loop timing (core.timing.two_point_op_time)."""
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        make_operand,
+        two_point_op_time,
+    )
+
     eqn = row["_eqn"]
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(*row["lhs"]) * 0.1,
-                    eqn.invars[0].aval.dtype)
-    w = jnp.asarray(rng.randn(*row["rhs"]) * 0.1,
-                    eqn.invars[1].aval.dtype)
-
-    def make_loop(n_iters):
-        def loop(x, w):
-            def body(i, carry):
-                acc, x = carry
-                y = _run_op(eqn, x, w)
-                m = jnp.mean(y.astype(jnp.float32))
-                return acc + m, (x * (1 + m * 1e-12)).astype(x.dtype)
-            acc, _ = lax.fori_loop(0, n_iters, body, (jnp.zeros(()), x))
-            return acc
-        return loop
-
-    est = max(row["flops_each"] / 20e12, 5e-6)
-    n2 = int(min(6000, max(100, round(target_s / est))))
-    n1 = max(10, n2 // 5)
-
-    def measure(n_iters):
-        compiled = jax.jit(make_loop(n_iters)).lower(x, w).compile()
-        float(compiled(x, w))
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(compiled(x, w))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    t1, t2 = measure(n1), measure(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-8)
+    x = make_operand(row["lhs"], eqn.invars[0].aval.dtype)
+    w = make_operand(row["rhs"], eqn.invars[1].aval.dtype)
+    return two_point_op_time(lambda x, w: _run_op(eqn, x, w), x, w,
+                             row["flops_each"], target_s=target_s)
 
 
 # ---------------------------------------------------------------- workloads
@@ -245,8 +224,10 @@ def roofline_floor(inv, n_params, state_dtype_bytes=4):
     re-streaming is charged), and the optimizer adds 7 passes over the
     param/state bytes (read g, p, m, v; write p, m, v — Adam)."""
     op_bytes = sum(
-        (_bytes_of(r["lhs"], r["dtype"]) + _bytes_of(r["rhs"], r["dtype"])
-         + _bytes_of(r["out"], r["dtype"])) * r["count"] for r in inv)
+        (_bytes_of(r["lhs"], r["dtype"])
+         + _bytes_of(r["rhs"], r.get("rhs_dtype", r["dtype"]))
+         + _bytes_of(r["out"], r.get("out_dtype", r["dtype"])))
+        * r["count"] for r in inv)
     adam_bytes = 7.0 * n_params * state_dtype_bytes
     return (op_bytes + adam_bytes) / (HBM_GBPS * 1e9), op_bytes, adam_bytes
 

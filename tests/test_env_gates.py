@@ -56,7 +56,8 @@ def test_torch_gated_tiers_collected():
     silently drop them from the suite)."""
     here = os.path.dirname(__file__)
     for fname, min_tests in (("test_convert.py", 4),
-                             ("test_reference_parity.py", 18)):
+                             ("test_reference_parity.py", 18),
+                             ("test_reference_train_parity.py", 4)):
         path = os.path.join(here, fname)
         assert os.path.isfile(path), fname
         text = open(path).read()
