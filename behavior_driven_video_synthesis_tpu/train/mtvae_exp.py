@@ -34,9 +34,9 @@ def create_mtvae_state(key, model, tx, sample_batch) -> MTVAETrainState:
 
 def make_mtvae_train_step(model, tx, config, total_steps: int) -> Callable:
     tr = config.training
-    k_vel = int(tr.get("k_vel", 3))
-    w_motion = float(tr.get("weight_motion", 1.0))
-    w_cycle = float(tr.get("weight_cycle", 1.0))
+    k_vel = int(tr.get("k_vel", 8))
+    w_motion = float(tr.get("weight_motion", 10.0))
+    w_cycle = float(tr.get("weight_cycle", 10.0))
     div = model.n_cond
 
     def train_step(state: MTVAETrainState, batch, key, enable_update=True
@@ -44,7 +44,9 @@ def make_mtvae_train_step(model, tx, config, total_steps: int) -> Callable:
         kps = batch["keypoints"].astype(jnp.float32)
         kps_cross = batch["paired_keypoints"].astype(jnp.float32)
         k_s, k_p = jax.random.split(key)
-        kl_weight = linear_var(state.step, 0, total_steps, 1e-5, 1.0,
+        # ignite iterations are 1-based (reference mt_vae.py:325) — our
+        # 0-based step ramps from the same point with step + 1
+        kl_weight = linear_var(state.step + 1, 0, total_steps, 1e-5, 1.0,
                                0.0, 1.0)
 
         def loss_fn(params):

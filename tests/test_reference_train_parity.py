@@ -838,3 +838,153 @@ def test_flow_lockstep_training_parity(ref, monkeypatch):
     err = float(jnp.linalg.norm(flat(params) - flat(ref_final))) / move
     assert err < 2e-2, (
         f"flow final params off by {err:.2e} of training movement")
+
+
+# ===================================================================== mtvae
+# MTVAE gradient lockstep (the fourth and final training family): the
+# SHIPPED make_mtvae_train_step vs the reference train_fn body
+# (experiments/mt_vae.py:296-336) — L1 recon + ramped KL + velocity-motion
+# + cycle losses, random initial LSTM states, torch Adam(lr_init, wd).
+# Round-5 drift this lockstep confirms fixed: k_vel 8 / weight_motion 10 /
+# weight_cycle 10 (config/mt_vae.yaml:32-34), the 1-based kl ramp, and
+# torch-Adam L2 weight decay.
+
+M_B, M_T, M_K = 3, 20, 12
+M_STEPS = 8
+M_TOTAL = 500.0
+
+
+def test_mtvae_lockstep_training_parity(ref, monkeypatch):
+    torch = ref["torch"]
+    from behavior_driven_video_synthesis_tpu.core.config import Config
+    from behavior_driven_video_synthesis_tpu.models.convert import (
+        convert_mtvae,
+    )
+    from behavior_driven_video_synthesis_tpu.models.mtvae import MTVAE
+    from behavior_driven_video_synthesis_tpu.train.mtvae_exp import (
+        create_mtvae_state,
+        make_mtvae_train_step,
+    )
+    from behavior_driven_video_synthesis_tpu.train.losses import l1_loss
+
+    ref_losses = _fake_losses_import(ref, monkeypatch)
+
+    torch.manual_seed(0)
+    refm = ref["rbn"].MTVAE({"n_cond": 10}, M_K, "cpu")
+    sd0 = {k: v.detach().numpy().copy()
+           for k, v in refm.state_dict().items()}
+    rng = np.random.RandomState(5)
+    batches = []
+    for _ in range(M_STEPS):
+        batches.append(dict(
+            kps=(rng.randn(M_B, M_T, M_K) * 0.5).astype(np.float32),
+            cross=(rng.randn(M_B, M_T, M_K) * 0.5).astype(np.float32),
+            # draw order per step on both sides: h0, c0 (B,1024);
+            # eps_z, eps_cycle, ps (B,512)
+            big=[rng.randn(M_B, 1024).astype(np.float32)
+                 for _ in range(2)],
+            small=[rng.randn(M_B, 512).astype(np.float32)
+                   for _ in range(3)],
+        ))
+
+    # ------------------------------------------------------- torch reference
+    queues = {}
+    orig_randn, orig_randn_like = torch.randn, torch.randn_like
+
+    def fake_randn(*size, **kw):
+        shape = tuple(size[0]) if len(size) == 1 and isinstance(
+            size[0], (tuple, list)) else tuple(size)
+        flat = tuple(s for s in shape if s != 1)
+        return torch.from_numpy(queues[flat].pop(0)).reshape(shape)
+
+    def fake_randn_like(t, **kw):
+        flat = tuple(s for s in tuple(t.shape) if s != 1)
+        return torch.from_numpy(queues[flat].pop(0)).reshape(t.shape)
+
+    torch.randn, torch.randn_like = fake_randn, fake_randn_like
+    opt = _DataOpt(torch, refm.parameters(), 1e-4, "adam",
+                   weight_decay=1e-12)
+    k_vel, w_motion, w_cycle = 8, 10.0, 10.0
+    m_ref = []
+    try:
+        for n, bt in enumerate(batches):
+            queues[(M_B, 1024)] = list(bt["big"])
+            queues[(M_B, 512)] = list(bt["small"])
+            kps = torch.from_numpy(bt["kps"])
+            cross = torch.from_numpy(bt["cross"])
+            out_seq, mu, logstd, out_cycle = refm(kps, cross)
+            ps = torch.randn_like(out_cycle)
+            cycle_loss = torch.mean(torch.abs(out_cycle - ps))
+            kps_loss = torch.mean(torch.abs(out_seq - kps[:, refm.div:]))
+            l_kl = ref_losses.kl_loss(mu, logstd)
+            vel_tgt = (kps[:, refm.div:refm.div + k_vel]
+                       - kps[:, refm.div - 1:refm.div + k_vel - 1])
+            vel_pred = out_seq[:, :k_vel] - torch.cat(
+                [kps[:, refm.div - 1].unsqueeze(1),
+                 out_seq[:, :k_vel - 1]], dim=1)
+            motion_loss = torch.mean(torch.abs(vel_tgt - vel_pred))
+            kl_weight = 1e-5 + (1 - 1e-5) * min((n + 1) / M_TOTAL, 1.0)
+            loss = (kps_loss + kl_weight * l_kl + w_motion * motion_loss
+                    + w_cycle * cycle_loss)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            m_ref.append(dict(loss=loss.item(), rec=kps_loss.item(),
+                              kl=l_kl.item(), motion=motion_loss.item(),
+                              cycle=cycle_loss.item()))
+    finally:
+        torch.randn, torch.randn_like = orig_randn, orig_randn_like
+    final_sd = {k: v.detach().numpy().copy()
+                for k, v in refm.state_dict().items()}
+
+    # ------------------------------------------------------------- our side
+    model = MTVAE(n_in=M_K, n_cond=10)
+    config = Config({"architecture": {}, "training": {
+        "k_vel": k_vel, "weight_motion": w_motion,
+        "weight_cycle": w_cycle}})
+    tx = torch_adam(1e-4, weight_decay=1e-12)
+    jq = {}
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        return jnp.asarray(jq[tuple(shape)].pop(0), dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    step_fn = make_mtvae_train_step(model, tx, config, int(M_TOTAL))
+    batch0 = {"keypoints": jnp.asarray(batches[0]["kps"]),
+              "paired_keypoints": jnp.asarray(batches[0]["cross"])}
+    jq[(M_B, 1024)] = list(batches[0]["big"])
+    jq[(M_B, 512)] = list(batches[0]["small"])
+    state = create_mtvae_state(jax.random.PRNGKey(0), model, tx, batch0)
+    state = state.replace(net=state.net.replace(
+        params=convert_mtvae(sd0)["params"]))
+    m_ours = []
+    for bt in batches:
+        jq[(M_B, 1024)] = list(bt["big"])
+        jq[(M_B, 512)] = list(bt["small"])
+        batch = {"keypoints": jnp.asarray(bt["kps"]),
+                 "paired_keypoints": jnp.asarray(bt["cross"])}
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(9))
+        m_ours.append(dict(loss=float(metrics["loss"]),
+                           rec=float(metrics["rec_loss"]),
+                           kl=float(metrics["kl_loss"]),
+                           motion=float(metrics["motion_loss"]),
+                           cycle=float(metrics["cycle_loss"])))
+
+    for keyname in ("loss", "rec", "kl", "motion", "cycle"):
+        rel = _traj_max_rel(m_ref, m_ours, keyname)
+        assert rel < 5e-3, (
+            f"mtvae '{keyname}' trajectory diverged (max rel {rel:.2e}); "
+            f"ref={[m[keyname] for m in m_ref[:4]]} "
+            f"ours={[m[keyname] for m in m_ours[:4]]}")
+
+    ref_final = convert_mtvae(final_sd)["params"]
+    init_p = convert_mtvae(sd0)["params"]
+    flat = lambda t: jnp.concatenate(
+        [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)])
+    move = float(jnp.linalg.norm(flat(ref_final) - flat(init_p))) + 1e-8
+    err = float(jnp.linalg.norm(
+        flat(state.net.params["params"]
+             if "params" in state.net.params else state.net.params)
+        - flat(ref_final))) / move
+    assert err < 2e-2, (
+        f"mtvae final params off by {err:.2e} of training movement")
