@@ -49,6 +49,10 @@ def make_mtvae_train_step(model, tx, config, total_steps: int) -> Callable:
         kl_weight = linear_var(state.step + 1, 0, total_steps, 1e-5, 1.0,
                                0.0, 1.0)
 
+        # reference k_vel=8 assumes >=8 predicted frames (its windows are
+        # 49+); clamp for shorter (synthetic/test) sequences
+        k_v = min(k_vel, kps.shape[1] - div)
+
         def loss_fn(params):
             out_seq, mu, logstd, out_cycle = model.apply(
                 {"params": params}, kps, kps_cross, rngs={"sample": k_s})
@@ -56,10 +60,10 @@ def make_mtvae_train_step(model, tx, config, total_steps: int) -> Callable:
             cycle = l1_loss(out_cycle, ps)
             rec = l1_loss(out_seq, kps[:, div:])
             kl = kl_loss(mu, logstd)
-            vel_tgt = (kps[:, div:div + k_vel]
-                       - kps[:, div - 1:div + k_vel - 1])
-            vel_pred = out_seq[:, :k_vel] - jnp.concatenate(
-                [kps[:, div - 1][:, None], out_seq[:, :k_vel - 1]], axis=1)
+            vel_tgt = (kps[:, div:div + k_v]
+                       - kps[:, div - 1:div + k_v - 1])
+            vel_pred = out_seq[:, :k_v] - jnp.concatenate(
+                [kps[:, div - 1][:, None], out_seq[:, :k_v - 1]], axis=1)
             motion = l1_loss(vel_tgt, vel_pred)
             loss = (rec + kl_weight * kl + w_motion * motion
                     + w_cycle * cycle)
