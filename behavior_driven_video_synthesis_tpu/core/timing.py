@@ -86,7 +86,8 @@ def time_step_loop(step: Callable, state, batch, key, n_iters: int,
     """Seconds for ``n_iters`` sequential ``step(state, batch, key)``
     calls compiled as ONE fori_loop dispatch.  ``fetch(state)`` must
     return a scalar jnp value (forces completion through the relay).
-    Returns (dt_seconds, final_state)."""
+    Returns (dt_seconds, final_state, compiled) — the compiled loop is
+    exposed for cost_analysis-based FLOP accounting."""
 
     def loop(state, batch, k0):
         def body(i, carry):
@@ -106,4 +107,4 @@ def time_step_loop(step: Callable, state, batch, key, n_iters: int,
         st = compiled(st, batch, jax.random.fold_in(key, r))
         float(fetch(st))
         times.append(time.perf_counter() - t0)
-    return min(times), st
+    return min(times), st, compiled

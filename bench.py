@@ -332,8 +332,8 @@ def bench_cvbae_train():
         time_step_loop,
     )
 
-    dt, _ = time_step_loop(step, state, batch, key, n_iters,
-                           fetch=lambda st: jnp.sum(st.gamma))
+    dt, _, compiled = time_step_loop(step, state, batch, key, n_iters,
+                                     fetch=lambda st: jnp.sum(st.gamma))
     ips = B * n_iters / dt
     return {
         "metric": f"cvbae_{S}px_train_throughput",
@@ -422,8 +422,8 @@ def bench_behavior_train():
     state, step, batch = build_behavior_bench_step(B=B)
     key = jax.random.PRNGKey(0)
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    dt, _ = time_step_loop(step, state, batch, key, n_iters,
-                           fetch=lambda st: jnp.sum(st.gamma))
+    dt, _, _c = time_step_loop(step, state, batch, key, n_iters,
+                               fetch=lambda st: jnp.sum(st.gamma))
     sps = B * n_iters / dt
     row = {
         "metric": "behavior_cvae_train_throughput",
@@ -466,8 +466,8 @@ def bench_mtvae_train():
     state, step, batch, _tx = build_mtvae_bench_step(B=B)
     key = jax.random.PRNGKey(0)
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    dt, _ = time_step_loop(step, state, batch, key, n_iters,
-                           fetch=lambda st: jnp.sum(st.step))
+    dt, _, _c = time_step_loop(step, state, batch, key, n_iters,
+                               fetch=lambda st: jnp.sum(st.step))
     sps = B * n_iters / dt
     row = {
         "metric": "mtvae_train_throughput",
