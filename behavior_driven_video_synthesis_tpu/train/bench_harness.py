@@ -37,7 +37,8 @@ def shipped_training_config() -> dict:
 
 def build_cvbae_bench_step(B, S, *, dropout=None, regressor_on=True,
                            features="laplacian", dropout_rng="rbg",
-                           dropout_impl="flax", seed=0):
+                           dropout_impl="flax", upsample_transpose=False,
+                           seed=0):
     """Construct (state, step, batch) for one cvbae train step.
 
     features: "laplacian" (the shipped production perceptual default) or
@@ -63,6 +64,7 @@ def build_cvbae_bench_step(B, S, *, dropout=None, regressor_on=True,
     })
     vunet = VUNet(spatial_size=S, nf_start=32, nf_max=128, variant="alter",
                   dropout_prob=dropout, dropout_impl=dropout_impl,
+                  upsample_transpose=upsample_transpose,
                   dtype=jnp.bfloat16)
     if features == "laplacian":
         vgg = LaplacianPyramidFeatures()

@@ -13,8 +13,8 @@ entry carries achieved TFLOP/s from XLA's cost_analysis and an MFU figure
 against the chip's bf16 peak, so the numbers are anchored to the hardware
 envelope rather than free-floating.
 
-Other modes: BENCH_MODE=pipeline|train|behavior|flowtrain|vunet emit that
-single metric only.
+Other modes: BENCH_MODE=pipeline|train|behavior|behaviortrain|mtvaetrain|
+flowtrain|vunet emit that single metric only.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,

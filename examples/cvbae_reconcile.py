@@ -40,24 +40,27 @@ from behavior_driven_video_synthesis_tpu.train.bench_harness import (
 
 
 def build(B, S, *, dropout, regressor_on, vgg_dtype, key,
-          dropout_rng="threefry", dropout_impl="flax"):
+          dropout_rng="threefry", dropout_impl="flax",
+          upsample_transpose=False):
     # shared with bench.py and per_conv_audit.py so all three harnesses
     # measure the same program
     del key  # seed fixed inside the shared builder
     return build_cvbae_bench_step(
         B, S, dropout=dropout, regressor_on=regressor_on,
         features=vgg_dtype, dropout_rng=dropout_rng,
-        dropout_impl=dropout_impl)
+        dropout_impl=dropout_impl, upsample_transpose=upsample_transpose)
 
 
 def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
-             donate, dropout_rng="threefry", dropout_impl="flax"):
+             donate, dropout_rng="threefry", dropout_impl="flax",
+             upsample_transpose=False):
     key = jax.random.PRNGKey(0)
     state, step, batch = build(B, S, dropout=dropout,
                                regressor_on=regressor_on,
                                vgg_dtype=vgg_dtype, key=key,
                                dropout_rng=dropout_rng,
-                               dropout_impl=dropout_impl)
+                               dropout_impl=dropout_impl,
+                               upsample_transpose=upsample_transpose)
 
     def loop(state, batch, k0):
         def body(i, carry):
@@ -197,6 +200,17 @@ def main():
                   "act-dropout",
              dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
              donate=True, dropout_rng="rbg", dropout_impl="pallas"),
+        # r5b: subpixel-as-transposed-conv in TRAINING (param-identical;
+        # skips depth_to_space relayout copies — ~11 ms/step of the
+        # profile's copy bucket — but the stride-2 transposed conv
+        # lowering measured 8% SLOWER e2e in SERVING, r2; training's
+        # backward may tip either way)
+        dict(name="r5b control: shipped production default + rbg (flax)",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg"),
+        dict(name="r5b shipped default + transpose upsample",
+             dropout=0.05, regressor_on=True, vgg_dtype="laplacian",
+             donate=True, dropout_rng="rbg", upsample_transpose=True),
     ]
     rows = []
     for a in arms:

@@ -163,11 +163,52 @@ def soak_workload(name, state, step_fn, batch, n_steps, chunk,
     }
 
 
+def build_flow_soak():
+    """The production flow STAGE step (630M flow NLL-trained on latents
+    inferred from a frozen behavior net — train/flow.py, the program
+    behavior_net's only_flow mode runs for 5 epochs), adapted to the
+    3-arg soak protocol: the frozen net params ride inside the batch so
+    they stay a jit ARGUMENT (closing over them would bake ~120 MB of
+    constants into the HLO — the capture trap in the verify notes)."""
+    import optax
+    from behavior_driven_video_synthesis_tpu.models import (
+        ResidualBehaviorNet,
+    )
+    from behavior_driven_video_synthesis_tpu.models.flows import LatentFlow
+    from behavior_driven_video_synthesis_tpu.train.flow import (
+        create_flow_state,
+        make_flow_train_step,
+    )
+
+    B, T, K, HID = 64, 50, 48, 1024
+    net = ResidualBehaviorNet(n_kps=K, dim_hidden_b=HID)
+    flow = LatentFlow(flow_in_channels=HID, flow_mid_channels=2 * HID,
+                      n_flows=15)
+    key = jax.random.PRNGKey(0)
+    kps = jax.random.normal(jax.random.fold_in(key, 1), (B, T + 1, K))
+    net_params = net.init({"params": key, "sample": key},
+                          kps[:, :-1], kps[:, :-1], T)["params"]
+    b0 = jax.random.normal(jax.random.fold_in(key, 2), (B, HID))
+    state = create_flow_state(key, flow, optax.adam(1e-4), b0)
+    raw_step = make_flow_train_step(net, flow, optax.adam(1e-4), T)
+
+    def step(st, batch, k):
+        st, m = raw_step(st, batch["_net"], {"keypoints": batch["kps"]}, k)
+        return st, {"loss": m["flow_loss"], **m}
+
+    batch = {"kps": kps, "_net": net_params}
+    return state, step, batch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cvbae-steps", type=int, default=10000)
     ap.add_argument("--behavior-steps", type=int, default=5000)
+    ap.add_argument("--flow-steps", type=int, default=2000)
     ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on workload names; merges into "
+                         "an existing --out")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "SOAK.json"))
     args = ap.parse_args()
@@ -177,25 +218,41 @@ def main():
         build_cvbae_bench_step,
     )
 
-    out = {"device": jax.devices()[0].device_kind,
-           "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                        time.gmtime())}
+    out = {}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+    out["device"] = jax.devices()[0].device_kind
+    out["started_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
-    print("=== cvbae soak (shipped production default, B=12/256px) ===",
-          flush=True)
-    state, step, batch = build_cvbae_bench_step(12, 256)
-    out["cvbae"] = soak_workload(
-        "cvbae", state, step, batch, args.cvbae_steps, args.chunk,
-        loss_of=lambda s: jnp.sum(s.gamma),
-        save_restore_at=args.cvbae_steps // 2)
+    def want(name):
+        return args.only is None or args.only in name
 
-    print("=== behavior soak (B=64/T=50/HID=1024 full step) ===",
-          flush=True)
-    state, step, batch = build_behavior_bench_step()
-    out["behavior"] = soak_workload(
-        "behavior", state, step, batch, args.behavior_steps, args.chunk,
-        loss_of=lambda s: jnp.sum(s.gamma),
-        save_restore_at=args.behavior_steps // 2)
+    if want("cvbae"):
+        print("=== cvbae soak (shipped production default, B=12/256px) "
+              "===", flush=True)
+        state, step, batch = build_cvbae_bench_step(12, 256)
+        out["cvbae"] = soak_workload(
+            "cvbae", state, step, batch, args.cvbae_steps, args.chunk,
+            loss_of=lambda s: jnp.sum(s.gamma),
+            save_restore_at=args.cvbae_steps // 2)
+
+    if want("behavior"):
+        print("=== behavior soak (B=64/T=50/HID=1024 full step) ===",
+              flush=True)
+        state, step, batch = build_behavior_bench_step()
+        out["behavior"] = soak_workload(
+            "behavior", state, step, batch, args.behavior_steps,
+            args.chunk, loss_of=lambda s: jnp.sum(s.gamma),
+            save_restore_at=args.behavior_steps // 2)
+
+    if want("flow"):
+        print("=== flow soak (630M flow stage, B=64) ===", flush=True)
+        state, step, batch = build_flow_soak()
+        out["flow"] = soak_workload(
+            "flow", state, step, batch, args.flow_steps, args.chunk,
+            loss_of=lambda s: jnp.sum(s.step),
+            save_restore_at=args.flow_steps // 2)
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
