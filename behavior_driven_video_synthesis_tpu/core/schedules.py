@@ -43,20 +43,21 @@ def update_gamma(gamma, avg_kl, imax, gamma_step):
 
 
 def imax_schedule(step, total_steps, information_max, mode: str = "none"):
-    """Optionally scale the information target over training.
+    """The reference's ``imax_scaling`` target schedule (adjust_imax,
+    experiments/behavior_net.py:405-443 / shape_and_pose_net.py:320-339):
+    linear_var over the FULL ``total_steps``.
 
-    ``mode``: "none" keeps it constant; "ascend" ramps 0 -> imax over the first
-    half; "descend" ramps imax -> 0 over the second half (mirrors the
-    ``imax_scaling`` option in the reference configs).
+    ``mode``: "none" keeps it constant; "ascend" ramps 0 -> imax (the
+    beta-VAE style warm-up); "descend" ramps imax -> 0.
     """
     if mode == "none":
         return jnp.asarray(information_max, jnp.float32)
     if mode == "ascend":
-        return linear_var(step, 0, total_steps // 2, 0.0, information_max,
+        return linear_var(step, 0, total_steps, 0.0, information_max,
                           0.0, information_max)
     if mode == "descend":
-        return linear_var(step, total_steps // 2, total_steps,
-                          information_max, 0.0, 0.0, information_max)
+        return linear_var(step, 0, total_steps, information_max, 0.0,
+                          0.0, information_max)
     raise ValueError(f"unknown imax_scaling mode: {mode}")
 
 

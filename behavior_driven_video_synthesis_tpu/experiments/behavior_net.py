@@ -133,9 +133,12 @@ class BehaviorNetExperiment(Experiment):
         # donate the train state: params+opt moments get reused in place
         # (the 630M-param flow stage does NOT fit HBM without donation)
         step_fn = jax.jit(
-            make_behavior_train_step(model, regressor, cls_action,
-                                     cls_action2, cls_beta, txs, cfg,
-                                     seq_len),
+            make_behavior_train_step(
+                model, regressor, cls_action, cls_action2, cls_beta, txs,
+                cfg, seq_len,
+                # adjust_imax span: (n_epochs - 10) * len(loader)
+                # (reference behavior_net.py:418)
+                total_steps=max(1, (n_epochs - 10) * steps_per_epoch)),
             donate_argnums=(0,),
         )
         eval_fn = jax.jit(make_behavior_eval_step(model, seq_len))

@@ -87,14 +87,20 @@ def make_behavior_train_step(
     txs: Dict[str, optax.GradientTransformation],
     config,
     seq_len: int,
+    total_steps: int = 0,
 ) -> Callable:
-    """Build the jittable train step.  ``seq_len`` is static (bucketed)."""
+    """Build the jittable train step.  ``seq_len`` is static (bucketed).
+
+    ``total_steps`` scales the ``imax_scaling`` target schedule (the
+    reference's adjust_imax over (n_epochs-10)*len(loader) iterations,
+    behavior_net.py:418-443); only needed when imax_scaling != none."""
     tr = config.training
     recon_w = float(tr.get("recon_loss_weight", 2.5))
     w_reg = float(tr.get("weight_regressor", 0.01))
     use_reg = bool(tr.get("use_regressor", True))
     gamma_step = float(tr.get("gamma_step", 1e-5))
     imax = float(tr.get("information_max", 100.0))
+    imax_mode = str(tr.get("imax_scaling", "none"))
     is_cvae = bool(config.architecture.get("cvae", False))
     n_reg_steps = 5
 
@@ -142,9 +148,18 @@ def make_behavior_train_step(
         mu_sg = jax.lax.stop_gradient(aux["mu"])
 
         # ---- gamma controller (only when the net actually stepped) --------
+        # the reference's imax is set AFTER each iteration by the
+        # ITERATION_COMPLETED hook (adjust_imax, behavior_net.py:784) and
+        # initialized to 0 (:60) — so step s (0-based) updates gamma
+        # against imax(s), with the very first step seeing 0
+        imax_t = jnp.where(
+            state.step == 0, 0.0,
+            schedules.imax_schedule(state.step, max(total_steps, 1),
+                                    imax, imax_mode))
         new_gamma = jnp.where(
             jnp.asarray(enable_net_update, bool),
-            schedules.update_gamma(state.gamma, aux["kl"], imax, gamma_step),
+            schedules.update_gamma(state.gamma, aux["kl"], imax_t,
+                                   gamma_step),
             state.gamma,
         )
 

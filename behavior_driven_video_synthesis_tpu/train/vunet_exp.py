@@ -113,6 +113,8 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
     train_reg = bool(tr.get("train_regressor", True)) and regressor is not None
     gamma_step = float(tr.get("gamma_step", 1e-5))
     imax = float(tr.get("information_max", 1000.0))
+    imax_mode = str(tr.get("imax_scaling", "none"))
+    imax_total = int(tr.get("end_iteration", 150000))
     n_init_batches = int(tr.get("n_init_batches", 4))
     is_cvae = bool(config.architecture.get("cvae", False))
     # gradient accumulation: split the batch into `grad_accum` sequential
@@ -215,8 +217,12 @@ def make_cvbae_train_step(vunet, regressor, vgg, vgg_variables, txs, config,
             loss = loss - jnp.clip(loss_reg, max=1.2) * w_reg
 
         new_vunet = state.vunet.apply_gradients(txs["vunet"], grads)
-        new_gamma = schedules.update_gamma(state.gamma, aux["kl_loss"], imax,
-                                           gamma_step)
+        # imax_scaling target schedule (reference adjust_imax over the
+        # full end_iteration span, shape_and_pose_net.py:320-339,505-508)
+        imax_t = schedules.imax_schedule(state.step, imax_total, imax,
+                                         imax_mode)
+        new_gamma = schedules.update_gamma(state.gamma, aux["kl_loss"],
+                                           imax_t, gamma_step)
 
         new_gan = state.gan
         gan_metrics = {}

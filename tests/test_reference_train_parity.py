@@ -197,7 +197,7 @@ def _run_reference(ref, batches, kind):
     torch.randn_like = lambda t, **kw: eps_queue.pop(0)
     metrics = []
     try:
-        for bt in batches:
+        for n_it, bt in enumerate(batches):
             eps_queue[:] = [torch.from_numpy(bt[k])
                             for k in ("eps1", "eps2", "eps3")]
             kps = torch.from_numpy(bt["kps"])
@@ -226,7 +226,11 @@ def _run_reference(ref, batches, kind):
             o_net.zero_grad()
             loss.backward()
             o_net.step()
-            gamma = max(gamma - GAMMA_STEP * (IMAX - kl.item()), 0)
+            # the reference's live imax: initialized 0, set by the
+            # ITERATION_COMPLETED hook only after iteration 1
+            # (behavior_net.py:60,784)
+            imax_t = 0.0 if n_it == 0 else IMAX
+            gamma = max(gamma - GAMMA_STEP * (imax_t - kl.item()), 0)
 
             pred = ca(seq_b)[0]
             l_ca = ce(pred, labels)
@@ -294,7 +298,7 @@ def _run_ours_reference_order(batches, init_sds, kind, monkeypatch):
         u, opts[i] = txs[i].update(grads, opts[i], params[i])
         params[i] = optax.apply_updates(params[i], u)
 
-    for bt in batches:
+    for n_it, bt in enumerate(batches):
         kps = jnp.asarray(bt["kps"])
         seq_b, target = kps[:, :-1], kps[:, 1:]
         labels = jnp.asarray(bt["labels"], jnp.int32)
@@ -338,7 +342,8 @@ def _run_ours_reference_order(batches, init_sds, kind, monkeypatch):
         (loss, (recon, kl)), g = jax.value_and_grad(
             net_loss_fn, has_aux=True)(params[0])
         upd(0, g)
-        gamma = max(gamma - GAMMA_STEP * (IMAX - float(kl)), 0)
+        imax_t = 0.0 if n_it == 0 else IMAX        # reference live imax
+        gamma = max(gamma - GAMMA_STEP * (imax_t - float(kl)), 0)
 
         def ca_loss_fn(p):
             return cross_entropy(ca.apply({"params": p}, seq_b)[0], labels)
@@ -457,7 +462,7 @@ def test_shipped_step_divergence_is_bounded(ref, monkeypatch):
     rngs = {"sample": jax.random.PRNGKey(0)}
     gamma = GAMMA0
     m_ours = []
-    for bt in batches:
+    for n, bt in enumerate(batches):
         kps = jnp.asarray(bt["kps"])
         seq_b, target = kps[:, :-1], kps[:, 1:]
         holder["eps"] = bt["eps1"]
@@ -481,8 +486,12 @@ def test_shipped_step_divergence_is_bounded(ref, monkeypatch):
             net_loss_fn, has_aux=True)(params[0])
         u, opts[0] = txs[0].update(g, opts[0], params[0])
         params[0] = optax.apply_updates(params[0], u)
+        # the shipped step's reference-faithful imax quirk: the very
+        # first step sees imax=0 (reference initializes self.imax = 0
+        # and the hook only sets it after iteration 1)
+        imax_t = 0.0 if n == 0 else IMAX
         gamma = float(schedules.update_gamma(
-            jnp.asarray(gamma), kl, IMAX, GAMMA_STEP))
+            jnp.asarray(gamma), kl, imax_t, GAMMA_STEP))
         mu_sg = jax.lax.stop_gradient(mu)
         for i in range(5):
             t = int(bt["ts"][i])
