@@ -77,8 +77,12 @@ def linear_decay_lr(lr_init: float, start_it: int, end_it: int) -> optax.Schedul
     return schedule
 
 
-def kl_ramp(step, total_steps, start_frac=0.5, end_frac=0.75, max_weight=1.0):
-    """KL-weight ramp used by the original-VUNet experiment."""
+def kl_ramp(step, total_steps, start_frac=0.5, end_frac=0.75,
+            kl_init=1e-6, kl_max=1.0):
+    """KL-weight ramp used by the original-VUNet experiment: linear from
+    ``kl_init`` to ``kl_max`` between total/2 and 3·total/4, clipped to
+    [kl_init, 1.0] (reference adjust_kl_weight, experiments/vunet.py:
+    258-266; bounds from config training.kl_init/kl_max)."""
     return linear_var(step, int(start_frac * total_steps),
-                      int(end_frac * total_steps), 0.0, max_weight,
-                      0.0, max_weight)
+                      int(end_frac * total_steps), kl_init, kl_max,
+                      kl_init, 1.0)

@@ -268,7 +268,10 @@ def make_org_vunet_train_step(vunet, vgg, vgg_variables, txs, config,
         k_s, k_d = jax.random.split(key)
         if dropout_rng == "rbg":
             k_d = rbg_key(k_d)  # see cvbae step note
-        kl_weight = schedules.kl_ramp(state.step, total_steps)
+        kl_weight = schedules.kl_ramp(
+            state.step, total_steps,
+            kl_init=float(tr.get("kl_init", 1e-6)),
+            kl_max=float(tr.get("kl_max", 1.0)))
 
         def loss_fn(params, app_i, shape_i, target_i, ks, kd):
             out, q_means, _, p_means, _ = vunet.apply(

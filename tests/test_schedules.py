@@ -1,0 +1,58 @@
+"""Controller/schedule parity units (core/schedules.py vs the reference's
+linear_var-based harness schedules)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from behavior_driven_video_synthesis_tpu.core.schedules import (
+    imax_schedule,
+    kl_ramp,
+    linear_var,
+    update_gamma,
+)
+
+
+def test_linear_var_matches_reference_form():
+    # reference lib/utils.linear_var: slope interp + clip
+    for it, want in ((0, 1.0), (50, 0.5), (100, 0.0), (150, 0.0)):
+        got = float(linear_var(it, 0, 100, 1.0, 0.0, 0.0, 1.0))
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_update_gamma_clamps_at_zero():
+    g = update_gamma(jnp.asarray(0.01), jnp.asarray(0.0), 100.0, 1e-3)
+    assert float(g) == 0.0
+    g = update_gamma(jnp.asarray(0.01), jnp.asarray(200.0), 100.0, 1e-3)
+    np.testing.assert_allclose(float(g), 0.11, atol=1e-6)
+
+
+def test_imax_schedule_modes():
+    """adjust_imax semantics (behavior_net.py:418-443): full-span linear
+    ramps, not half-span (a round-5 fix — the helper was unwired and
+    ramped over total/2)."""
+    imax = 100.0
+    assert float(imax_schedule(17, 1000, imax, "none")) == imax
+    np.testing.assert_allclose(
+        float(imax_schedule(500, 1000, imax, "ascend")), 50.0, atol=1e-4)
+    np.testing.assert_allclose(
+        float(imax_schedule(1000, 1000, imax, "ascend")), imax, atol=1e-4)
+    np.testing.assert_allclose(
+        float(imax_schedule(250, 1000, imax, "descend")), 75.0, atol=1e-4)
+    np.testing.assert_allclose(
+        float(imax_schedule(2000, 1000, imax, "descend")), 0.0, atol=1e-4)
+
+
+def test_kl_ramp_reference_bounds():
+    """adjust_kl_weight (experiments/vunet.py:258-266): kl_init -> kl_max
+    between total/2 and 3·total/4, clipped [kl_init, 1.0]."""
+    total, kl_init = 1000, 1e-6
+    np.testing.assert_allclose(
+        float(kl_ramp(0, total, kl_init=kl_init)), kl_init, atol=1e-12)
+    np.testing.assert_allclose(
+        float(kl_ramp(500, total, kl_init=kl_init)), kl_init, atol=1e-9)
+    mid = float(kl_ramp(625, total, kl_init=kl_init))
+    np.testing.assert_allclose(mid, 0.5, atol=1e-3)
+    np.testing.assert_allclose(
+        float(kl_ramp(750, total, kl_init=kl_init)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        float(kl_ramp(999, total, kl_init=kl_init)), 1.0, atol=1e-6)
