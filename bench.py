@@ -805,7 +805,9 @@ def _watchdog(seconds: int):
 if __name__ == "__main__":
     # wait out a transiently wedged relay BEFORE arming the bench watchdog
     # (probing costs nothing when healthy: one tiny-op subprocess)
-    probe_budget = int(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+    # default raised to 2400 (round 5): observed wedges after heavy bench
+    # days run 30-60 min; the successful r4 round bench needed 2400
+    probe_budget = int(os.environ.get("BENCH_PROBE_BUDGET_S", "2400"))
     if probe_budget > 0 and not _wait_for_healthy_relay(probe_budget):
         print(json.dumps({
             "metric": "bench_error",
