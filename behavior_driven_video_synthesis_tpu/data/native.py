@@ -252,12 +252,11 @@ def jpeg_orientation(data: bytes):
             # segment is present but unparseable, so the caller skips the
             # fast path.
             tiff = i + 10
-            # clamp to the actual stream: an APP1 whose claimed length
-            # overruns the file must read as malformed (0 sentinel), not
-            # as EXIF-absent via zero-length slices
-            seg_end = min(i + 2 + seg_len, n)
+            # an APP1 whose claimed length overruns the file is malformed
+            # (0 sentinel), never EXIF-absent via zero-length slices
             if i + 2 + seg_len > n:
                 return 0
+            seg_end = i + 2 + seg_len
             try:
                 if data[tiff:tiff + 2] == b"II":
                     endian = "little"

@@ -335,30 +335,42 @@ def bench_cvbae_train():
     dt, _, compiled = time_step_loop(step, state, batch, key, n_iters,
                                      fetch=lambda st: jnp.sum(st.gamma))
     ips = B * n_iters / dt
-    return {
+    row = {
         "metric": f"cvbae_{S}px_train_throughput",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        # anchor: BENCH_r04's recording of this SAME config (shipped
-        # production default incl. dropout, 109.91 img/s) — like-for-like
-        # ratio-to-last-known-good (VERDICT r4 weak #6; the old anchor
-        # divided by the r2 dropout-OFF harness, a cross-config ratio).
-        # Full config<->rate map in CVBAE_RECONCILE.json; the round-5
-        # Pallas fused act+dropout arm measured SLOWER (100.5) and the
-        # dropout representation question is closed
-        # (ops/pallas/elu_dropout.py docstring).
-        "vs_baseline": round(ips / 109.91, 4),
-        "baseline_note": "ratio to BENCH_r04's same-config recording "
-                         "(109.91 img/s, shipped production default "
-                         "incl. dropout); config map in "
-                         "CVBAE_RECONCILE.json",
         "config": ("r3-era row: bf16 random-VGG, no regressor" if use_vgg
                    else "shipped production default: laplacian perceptual "
                         "+ trained regressor + dropout 0.05 (rbg keys)"),
-        **_mfu_fields(_loop_flops(compiled, n_iters), dt,
-                      envelope_tflops=CVBAE_TRAIN_ENVELOPE_TFLOPS,
-                      envelope_note=CVBAE_TRAIN_ENVELOPE_NOTE),
     }
+    if B == 12 and S == 256 and not use_vgg:
+        # anchor: BENCH_r04's recording of this SAME config (shipped
+        # production default incl. dropout, 109.91 img/s) —
+        # like-for-like ratio-to-last-known-good (VERDICT r4 weak #6;
+        # the old anchor divided by the r2 dropout-OFF harness, a
+        # cross-config ratio).  Full config<->rate map in
+        # CVBAE_RECONCILE.json; the round-5 Pallas fused act+dropout
+        # arm measured SLOWER (100.5) and the dropout representation
+        # question is closed (ops/pallas/elu_dropout.py docstring).
+        row["vs_baseline"] = round(ips / 109.91, 4)
+        row["baseline_note"] = ("ratio to BENCH_r04's same-config "
+                                "recording (109.91 img/s, shipped "
+                                "production default incl. dropout); "
+                                "config map in CVBAE_RECONCILE.json")
+    else:
+        row["vs_baseline"] = None
+        row["baseline_note"] = ("non-default config (B/S/VGG override); "
+                                "no cross-config ratio")
+    row.update(
+        _mfu_fields(
+            _loop_flops(compiled, n_iters), dt,
+            # the conv floor was audited at the default B=12/256px
+            # shipped config; other configs get raw tflops only
+            envelope_tflops=(CVBAE_TRAIN_ENVELOPE_TFLOPS
+                             if (B == 12 and S == 256 and not use_vgg)
+                             else None),
+            envelope_note=CVBAE_TRAIN_ENVELOPE_NOTE))
+    return row
 
 
 def _train_floor(name):
@@ -430,7 +442,7 @@ def bench_behavior_train():
         "value": round(sps, 2),
         "unit": "sequences/sec/chip",
         **_floor_mfu(_train_floor("behavior_train"), dt, n_iters,
-                     batch=B),
+                     fallback_flops=_loop_flops(_c, n_iters), batch=B),
     }
     if B == 64:
         # anchor: this row's first chip measurement (round 5) — ratio
@@ -473,7 +485,8 @@ def bench_mtvae_train():
         "metric": "mtvae_train_throughput",
         "value": round(sps, 2),
         "unit": "sequences/sec/chip",
-        **_floor_mfu(_train_floor("mtvae_train"), dt, n_iters, batch=B),
+        **_floor_mfu(_train_floor("mtvae_train"), dt, n_iters,
+                     fallback_flops=_loop_flops(_c, n_iters), batch=B),
     }
     if B == 256:
         row["vs_baseline"] = round(sps / 13525.9, 4)
@@ -599,21 +612,28 @@ def bench_flow_train():
     float(loss)
     dt = time.perf_counter() - t0
     sps = B * n_iters / dt
-    return {
+    row = {
         "metric": "flow_train_rate_630M",
         "value": round(sps, 2),
         "unit": "sequences/sec/chip",
+        **_floor_mfu(_train_floor("flow_train"), dt, n_iters,
+                     fallback_flops=_loop_flops(compiled, n_iters),
+                     batch=B),
+    }
+    if B == 64:
         # ratio to last known good: 1,904.08 seq/s recorded in BENCH_r03
         # at these exact shapes (B=64, 630M params, donated state).  The
-        # old anchor divided steps/sec by the 2,000 f/s SERVING north-star
-        # — a unit mismatch that made the column meaningless (VERDICT r3
-        # weak #4).
-        "vs_baseline": round(sps / 1904.08, 4),
-        "baseline_note": "ratio to BENCH_r03 recorded 1,904.08 seq/s "
-                         "(same shapes, donated state)",
-        **_floor_mfu(_train_floor("flow_train"), dt, n_iters,
-                     fallback_flops=_loop_flops(compiled, n_iters)),
-    }
+        # old anchor divided steps/sec by the 2,000 f/s SERVING
+        # north-star — a unit mismatch that made the column meaningless
+        # (VERDICT r3 weak #4).
+        row["vs_baseline"] = round(sps / 1904.08, 4)
+        row["baseline_note"] = ("ratio to BENCH_r03 recorded 1,904.08 "
+                                "seq/s (same shapes, donated state)")
+    else:
+        row["vs_baseline"] = None
+        row["baseline_note"] = (f"B={B} differs from the anchored "
+                                "config (B=64); no cross-config ratio")
+    return row
 
 
 def bench_vunet():

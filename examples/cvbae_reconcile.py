@@ -62,29 +62,15 @@ def time_arm(name, B, S, n_iters, *, dropout, regressor_on, vgg_dtype,
                                dropout_impl=dropout_impl,
                                upsample_transpose=upsample_transpose)
 
-    def loop(state, batch, k0):
-        def body(i, carry):
-            st, k = carry
-            st, _ = step(st, batch, k)
-            return st, jax.random.fold_in(k, i)
-        st, _ = jax.lax.fori_loop(0, n_iters, body, (state, k0))
-        return st
+    # the shared protocol (core.timing.time_step_loop) so this A/B
+    # harness can never drift from the bench.py row it reconciles
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        time_step_loop,
+    )
 
-    donate_args = (0,) if donate else ()
-    compiled = jax.jit(loop, donate_argnums=donate_args).lower(
-        state, batch, key).compile()
-    st = compiled(state, batch, key)
-    float(jnp.sum(st.gamma))  # force completion through the relay
-    times = []
-    for r in range(3):
-        arg = st if donate else state
-        t0 = time.perf_counter()
-        out = compiled(arg, batch, jax.random.fold_in(key, r))
-        float(jnp.sum(out.gamma))
-        times.append(time.perf_counter() - t0)
-        if donate:
-            st = out
-    dt = min(times)
+    dt, _, _c = time_step_loop(step, state, batch, key, n_iters,
+                               fetch=lambda st: jnp.sum(st.gamma),
+                               donate=donate)
     ips = B * n_iters / dt
     row = {"arm": name, "img_per_s": round(ips, 2),
            "ms_per_step": round(dt / n_iters * 1e3, 2),

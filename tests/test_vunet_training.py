@@ -139,8 +139,9 @@ class TestCvbaeStep:
             state, metrics = step(state, batch, sub)
             losses.append(float(metrics["likelihood_loss"]))
         assert losses[-1] < losses[0]
-        # kl ramp is 0 before half of total steps
-        assert float(metrics["kl_weight"]) == 0.0
+        # kl ramp floors at kl_init (reference clips to [kl_init, 1.0],
+        # experiments/vunet.py:258-266) before half of total steps
+        assert abs(float(metrics["kl_weight"]) - 1e-6) < 1e-9
 
 
 @pytest.mark.e2e  # heavy VGG/train-step compiles; slow tier
