@@ -56,3 +56,32 @@ def test_kl_ramp_reference_bounds():
         float(kl_ramp(750, total, kl_init=kl_init)), 1.0, atol=1e-6)
     np.testing.assert_allclose(
         float(kl_ramp(999, total, kl_init=kl_init)), 1.0, atol=1e-6)
+
+
+def test_bench_floor_gate_rejects_foreign_batch():
+    """bench._floor_mfu must refuse an audited floor measured at a
+    different batch (the VERDICT r4 weak-#6 cross-config accounting trap,
+    re-closed for the round-5 train rows)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    floor = {"batch": 64, "flops_per_step_g": 100.0,
+             "envelope_tflops": 50.0, "note": "x"}
+    # matching batch: audited FLOPs + envelope fields
+    out = bench._floor_mfu(floor, dt=1.0, n_iters=10, batch=64)
+    assert out["envelope_tflops"] == 50.0
+    assert out["flops_note"].startswith("audited")
+    # foreign batch: no audited numbers, explicit fallback note
+    out = bench._floor_mfu(floor, dt=1.0, n_iters=10, batch=32)
+    assert "envelope_tflops" not in out
+    assert "cost_analysis" in out["flops_note"]
+    # foreign batch WITH a cost_analysis fallback: raw tflops only
+    out = bench._floor_mfu(floor, dt=1.0, n_iters=10, batch=32,
+                           fallback_flops=2e12)
+    assert out["achieved_tflops"] == 2.0
+    assert "envelope_tflops" not in out
