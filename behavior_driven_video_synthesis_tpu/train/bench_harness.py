@@ -170,3 +170,44 @@ def build_mtvae_bench_step(B=256, T=60, K=48, seed=0):
     state = create_mtvae_state(jax.random.PRNGKey(seed), model, tx, batch)
     step = make_mtvae_train_step(model, tx, config, 100000)
     return state, step, batch, tx
+
+
+def build_org_vunet_bench_step(B=8, S=256, seed=0):
+    """(state, step, batch) for one org-VUNet train step at the reference
+    production scale (config/vunet.yaml:24-43: DeepFashion 256px,
+    inplane_normalize -> 30-channel part-stack appearance, nf 32..128,
+    batch 8, 300k iters with the kl_init->kl_max ramp)."""
+    from ..models.perceptual import LaplacianPyramidFeatures
+    from .vunet_exp import make_org_vunet_train_step
+
+    tr = load_config(Path(__file__).resolve().parents[2] / "configs"
+                     / "vunet.yaml")["training"]
+    config = Config({
+        "architecture": {},
+        "training": {"ll_weight": float(tr.get("ll_weight", 1.0)),
+                     "vgg_weights": [1.0] * 6,
+                     "kl_init": float(tr.get("kl_init", 1e-6)),
+                     "kl_max": float(tr.get("kl_max", 1.0)),
+                     "dropout_rng": "rbg"},
+    })
+    total_steps = int(tr.get("end_iteration", 300000))
+    vunet = VUNet(spatial_size=S, n_channels_x=30, nf_start=32, nf_max=128,
+                  variant="org", dtype=jnp.bfloat16)
+    vgg = LaplacianPyramidFeatures()
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    # inplane appearance branch: 30-channel part stacks enter at the
+    # box_factor-reduced resolution (S / 2**box_factor)
+    sa = S // 4
+    batch = {
+        "app_img": jnp.asarray(rng.rand(B, sa, sa, 30) * 2 - 1,
+                               jnp.float32),
+        "pose_img": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+        "stickman": jnp.asarray(rng.rand(B, S, S, 3) * 2 - 1, jnp.float32),
+    }
+    txs = {"vunet": optax.adam(
+        optax.linear_schedule(float(tr.get("lr", 8e-4)), 0.0, total_steps))}
+    state = create_vunet_state(key, vunet, None, vgg, txs, batch)
+    step = make_org_vunet_train_step(vunet, vgg, vgg.init(
+        key, batch["pose_img"][:1]), txs, config, total_steps)
+    return state, step, batch

@@ -501,6 +501,53 @@ def bench_mtvae_train():
     return row
 
 
+def bench_orgvunet_train():
+    """org-VUNet train-step throughput at the reference production scale
+    (DeepFashion 256px, inplane 30-channel part-stack appearance, batch
+    8 — config/vunet.yaml:24-43; the 4-group space-to-depth AR prior is
+    the org variant's distinctive compute)."""
+    import jax
+    import jax.numpy as jnp
+    from behavior_driven_video_synthesis_tpu.core.timing import (
+        time_step_loop,
+    )
+    from behavior_driven_video_synthesis_tpu.train.bench_harness import (
+        build_org_vunet_bench_step,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    S = int(os.environ.get("BENCH_SPATIAL", "256"))
+    state, step, batch = build_org_vunet_bench_step(B=B, S=S)
+    key = jax.random.PRNGKey(0)
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dt, _, compiled = time_step_loop(
+        step, state, batch, key, n_iters,
+        fetch=lambda st: jnp.sum(st.step))
+    ips = B * n_iters / dt
+    row = {
+        "metric": f"org_vunet_{S}px_train_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        # cost_analysis is accurate here (no scan/chunk inner loops in
+        # this step); no isolated-op floor has been audited for the org
+        # topology — mfu only, stated explicitly
+        **_mfu_fields(_loop_flops(compiled, n_iters), dt),
+        "flops_note": "cost_analysis FLOPs (valid: no inner loops); no "
+                      "audited op floor for the org topology yet",
+    }
+    if B == 8 and S == 256:
+        row["vs_baseline"] = round(ips / 205.31, 4)
+        row["baseline_note"] = ("ratio to the round-5 first chip "
+                                "recording (205.31 img/s, B=8/256px "
+                                "inplane; the reference's 300k-iter "
+                                "schedule completes in ~3.3 h/chip)")
+    else:
+        row["vs_baseline"] = None
+        row["baseline_note"] = ("non-default config; no cross-config "
+                                "ratio")
+    return row
+
+
 def bench_behavior():
     """Behavior-latent production rate: flow sample -> 50-step rollout."""
     import jax
@@ -715,6 +762,7 @@ def main():
         "behavior": bench_behavior,
         "behaviortrain": bench_behavior_train,
         "mtvaetrain": bench_mtvae_train,
+        "orgtrain": bench_orgvunet_train,
         "flowtrain": bench_flow_train,
         "vunet": bench_vunet,
     }
@@ -742,8 +790,8 @@ def main():
     # finished plus an explicit note of what was dropped
     extras = []
     for fn in (bench_pipeline, bench_cvbae_train, bench_flow_train,
-               bench_behavior_train, bench_mtvae_train, bench_behavior,
-               bench_vunet):
+               bench_behavior_train, bench_mtvae_train,
+               bench_orgvunet_train, bench_behavior, bench_vunet):
         row = fn()
         extras.append(row)
         _ROUND_PARTIAL["extra_metrics"] = extras
