@@ -8,3 +8,4 @@ from .probes import (
     FCResnet,
 )
 from .rim import RIM, RIMCell, GroupDense, GroupLSTMCell, GroupGRUCell
+from .mtvae import MTVAE

@@ -45,7 +45,7 @@ class BehaviorEncoder(nn.Module):
         Returns (b, mu, logstd, pre) when ``ib`` else pre.
         """
         _, (pre, _c) = LSTM(self.dim_hidden, dtype=self.dtype,
-                            name="rnn")(x, lengths)
+                            name="rnn")(x, lengths, return_sequences=False)
         if not self.ib:
             return pre
         mu = NormDense(self.dim_hidden, dtype=self.dtype, name="mu_fn")(pre)

@@ -96,8 +96,8 @@ class SequenceDisc(nn.Module):
             x = x[:, 1:] - x[:, :-1]
         elif self.input_type == "combined":
             x = jnp.concatenate([x[:, 1:] - x[:, :-1], x[:, 1:]], axis=-1)
-        hs, _ = LSTM(self.dim_hidden_rnn, dtype=self.dtype)(x)
-        h = hs[:, -1]
+        _, (h, _) = LSTM(self.dim_hidden_rnn, dtype=self.dtype)(
+            x, return_sequences=False)
         feats = [h]
         for _ in range(self.n_layers_class):
             h = nn.relu(nn.Dense(self.dim_hidden_class, dtype=self.dtype,

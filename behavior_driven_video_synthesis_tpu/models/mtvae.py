@@ -47,8 +47,11 @@ class MTVAE(nn.Module):
         # and convert_mtvae synthesizes their keys when exporting
 
     def _encode(self, seq, h0c0):
-        hs, (h_n, _) = self.lstm_enc(seq, initial_carry=h0c0)
-        return hs[:, -1], h_n
+        # single-layer LSTM without lengths: hs[:, -1] IS h_n, so skip the
+        # (T, B, H) output stacking entirely (return_sequences=False)
+        _, (h_n, _) = self.lstm_enc(seq, initial_carry=h0c0,
+                                    return_sequences=False)
+        return h_n, h_n
 
     def _latent_params(self, e):
         params = self.latent_enc(e)
@@ -100,8 +103,11 @@ class MTVAE(nn.Module):
         h0_dec = jnp.tanh(self.make_h_dec(pre_dec))
         c0_dec = self.make_c_dec(pre_dec)
 
+        # the reference tiles dec_in over T before the LSTM (tile + T input
+        # projections); static_steps feeds the SAME dec_in every step and
+        # projects it once — identical math, 1/T the input-projection FLOPs
         T_out = seq_b.shape[1]
-        dec_in_seq = jnp.tile(dec_in[:, None], (1, T_out, 1))
-        out_dec, _ = self.lstm_dec(dec_in_seq, initial_carry=(h0_dec, c0_dec))
+        out_dec, _ = self.lstm_dec(dec_in, initial_carry=(h0_dec, c0_dec),
+                                   static_steps=T_out)
         out_kp = self.make_keypoints(out_dec)
         return out_kp, mu, logstd, out_cycle

@@ -54,9 +54,10 @@ class ClassifierAction(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        hs, _ = LSTM(self.dim, dtype=self.dtype)(x)
+        _, (h_last, _) = LSTM(self.dim, dtype=self.dtype)(
+            x, return_sequences=False)
         feat = nn.relu(nn.Dense(128, dtype=self.dtype,
-                                param_dtype=jnp.float32)(hs[:, -1]))
+                                param_dtype=jnp.float32)(h_last))
         logits = nn.Dense(self.n_classes, dtype=self.dtype,
                           param_dtype=jnp.float32)(feat)
         return logits, feat

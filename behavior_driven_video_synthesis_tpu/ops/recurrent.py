@@ -115,19 +115,48 @@ class LSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs, lengths: Optional[jnp.ndarray] = None,
-                 initial_carry=None):
-        B, T, D = xs.shape
+                 initial_carry=None, *, return_sequences: bool = True,
+                 static_steps: Optional[int] = None):
+        """HBM-traffic-aware layouts (TPU profile, TRAIN_FLOORS.json):
+
+        * inputs go time-major BEFORE the 4H projection, so the relayout
+          copy moves (T,B,D) bytes, not the 4x larger (T,B,4H) x_proj;
+        * ``return_sequences=False`` emits no per-step scan output — callers
+          that only need the final state (encoders, last-hidden classifiers)
+          skip the (T,B,H) dynamic-update-slice stacking in fwd AND the
+          matching re-streaming in bwd.  With ``lengths`` the carry freezes
+          at each row's last valid step, so ``h_fin == hs[:, -1]`` always;
+        * ``static_steps=T`` takes xs of shape (B, D) fed identically at
+          every step (the MT-VAE decoder pattern, reference
+          pose_behavior_rnn.py:336-339 tiles dec_in over T): the input
+          projection runs ONCE instead of T times, and the backward
+          accumulates dx_proj as a (B, 4H) carry sum instead of stacking
+          (T, B, 4H).
+        """
+        if static_steps is not None:
+            B, D = xs.shape
+            T = static_steps
+        else:
+            B, T, D = xs.shape
         init = _uniform_init(self.hidden)
         w_ih = self.param("w_ih", init, (D, 4 * self.hidden))
         w_hh = self.param("w_hh", init, (self.hidden, 4 * self.hidden))
         b_ih = self.param("b_ih", init, (4 * self.hidden,))
         b_hh = self.param("b_hh", init, (4 * self.hidden,))
 
-        # (B, T, 4H) in one large matmul
-        x_proj = (
-            xs.astype(self.dtype) @ w_ih.astype(self.dtype)
-            + (b_ih + b_hh).astype(self.dtype)
-        )
+        if static_steps is not None:
+            # (B, 4H) once; every step reads the same projection
+            x_proj = (
+                xs.astype(self.dtype) @ w_ih.astype(self.dtype)
+                + (b_ih + b_hh).astype(self.dtype)
+            )
+        else:
+            # time-major first, then one large (T*B, D) x (D, 4H) matmul
+            x_proj = (
+                jnp.swapaxes(xs, 0, 1).astype(self.dtype)
+                @ w_ih.astype(self.dtype)
+                + (b_ih + b_hh).astype(self.dtype)
+            )
 
         if initial_carry is None:
             h0 = jnp.zeros((B, self.hidden), self.dtype)
@@ -141,7 +170,7 @@ class LSTM(nn.Module):
 
         def step(carry, inp):
             h, c, t = carry
-            xp = inp
+            xp = x_proj if static_steps is not None else inp
             gates = xp + h @ w_hh_c
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             i = jax.nn.sigmoid(i)
@@ -154,10 +183,13 @@ class LSTM(nn.Module):
                 valid = (t < lengths)[:, None]
                 h_new = jnp.where(valid, h_new, h)
                 c_new = jnp.where(valid, c_new, c)
-            return (h_new, c_new, t + 1), h_new
+            return (h_new, c_new, t + 1), (h_new if return_sequences else None)
 
         (h_fin, c_fin, _), hs = jax.lax.scan(
             step, (h0, c0, jnp.zeros((), jnp.int32)),
-            jnp.swapaxes(x_proj, 0, 1),
+            None if static_steps is not None else x_proj,
+            length=T if static_steps is not None else None,
         )
+        if not return_sequences:
+            return None, (h_fin, c_fin)
         return jnp.swapaxes(hs, 0, 1), (h_fin, c_fin)

@@ -492,8 +492,9 @@ def bench_mtvae_train():
         row["vs_baseline"] = round(sps / 13525.9, 4)
         row["baseline_note"] = ("ratio to the round-5 first chip "
                                 "recording (13,525.9 seq/s, B=256/T=60/"
-                                "dim=1024; 0.72 of the roofline floor, "
-                                "TRAIN_FLOORS.json)")
+                                "dim=1024, pre-LSTM-layout-optimization; "
+                                "the scan-copy rework measured 15,695-"
+                                "15,796 = 1.16-1.17x, TRAIN_FLOORS.json)")
     else:
         row["vs_baseline"] = None
         row["baseline_note"] = (f"B={B} differs from the anchored "
