@@ -27,10 +27,13 @@ class MTVAE(nn.Module):
     dim: int = 1024
     z_dim: int = 512
     dtype: Dtype = jnp.float32
+    remat_cell: bool = False
 
     def setup(self):
-        self.lstm_enc = LSTM(self.dim, dtype=self.dtype)
-        self.lstm_dec = LSTM(self.dim, dtype=self.dtype)
+        self.lstm_enc = LSTM(self.dim, dtype=self.dtype,
+                             remat_cell=self.remat_cell)
+        self.lstm_dec = LSTM(self.dim, dtype=self.dtype,
+                             remat_cell=self.remat_cell)
         self.latent_enc = FCResnet(out_dim=self.dim, dtype=self.dtype)
         self.latent_dec = FCResnet(out_dim=self.dim, dtype=self.dtype)
         self.make_keypoints = nn.Dense(self.n_in, dtype=self.dtype,

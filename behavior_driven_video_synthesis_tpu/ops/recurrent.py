@@ -112,6 +112,7 @@ class LSTM(nn.Module):
 
     hidden: int
     dtype: Dtype = jnp.float32
+    remat_cell: bool = False
 
     @nn.compact
     def __call__(self, xs, lengths: Optional[jnp.ndarray] = None,
@@ -185,6 +186,11 @@ class LSTM(nn.Module):
                 c_new = jnp.where(valid, c_new, c)
             return (h_new, c_new, t + 1), (h_new if return_sequences else None)
 
+        if self.remat_cell:
+            # recompute the gate chain in backward instead of streaming the
+            # stacked (T, B, 4H) sigmoid/tanh residuals from HBM — a
+            # FLOPs-for-bandwidth trade for HBM-bound steps
+            step = jax.checkpoint(step)
         (h_fin, c_fin, _), hs = jax.lax.scan(
             step, (h0, c0, jnp.zeros((), jnp.int32)),
             None if static_steps is not None else x_proj,

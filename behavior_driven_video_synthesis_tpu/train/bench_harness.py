@@ -151,7 +151,8 @@ def build_behavior_bench_step(B=64, T=50, K=48, n_actions=10, hid=1024,
     return state, step, batch
 
 
-def build_mtvae_bench_step(B=256, T=60, K=48, seed=0, dtype=None):
+def build_mtvae_bench_step(B=256, T=60, K=48, seed=0, dtype=None,
+                           remat_cell=False):
     """(state, step, batch) for one MTVAE train step at the reference
     production scale (config/mt_vae.yaml:13,24,28: seq 60, n_cond 10,
     batch 256; model dims 1024/512).  ``dtype`` mirrors the experiment's
@@ -161,7 +162,7 @@ def build_mtvae_bench_step(B=256, T=60, K=48, seed=0, dtype=None):
     from .state import torch_adam
 
     config = Config({"architecture": {}, "training": {}})
-    model = MTVAE(n_in=K, n_cond=10,
+    model = MTVAE(n_in=K, n_cond=10, remat_cell=remat_cell,
                   dtype=jnp.float32 if dtype is None else dtype)
     tx = torch_adam(1e-4)
     rng = np.random.RandomState(seed)
